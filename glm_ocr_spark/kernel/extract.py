@@ -1,0 +1,166 @@
+"""extract_turn: one turn payload -> (extracted_text, spans, markdown, json).
+
+The full per-turn dataflow, mirroring the reference's
+Pipeline.process (layout-on path, /root/reference/glmocr/pipeline/pipeline.py:282-605):
+
+  segment (detector stand-in)                 layout_detector.py:155-251
+  -> score threshold filter (F1)              layout_detector.py:92-153
+  -> NMS 0.6/0.98 (F3)                        layout_postprocess_utils.py:31-61, 238
+  -> oversized-image filter (F4)              layout_postprocess_utils.py:242-264
+  -> per-class containment modes (F5)         layout_postprocess_utils.py:267-325
+  -> reading-order sort (O1; model order or XY-cut)  :332-333
+  -> unclip (T11, default no-op)              :335-349
+  -> clamp + degenerate drop (F8)             :361-369
+  -> task mapping + abandon drop (F6) + 0-1000 normalize + dense index
+                                              layout_detector.py:271-315
+  -> recognition (skip -> None content) (F7)  pipeline.py:441-462
+  -> ResultFormatter semantics (T/J/A ops)    result_formatter.py:135-212
+
+Per-turn work is pure and independent: the Spark layer runs this inside
+mapInPandas with zero shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from glm_ocr_spark.config import (
+    LABEL2ID,
+    LABEL_TO_TASK,
+    LAYOUT_MERGE_BBOXES_MODE,
+    LAYOUT_UNCLIP_RATIO,
+    PRESERVE_CLASS_IDS,
+    SCORE_THRESHOLD,
+    SCORE_THRESHOLD_BY_CLASS,
+)
+from glm_ocr_spark.kernel import geometry as geo
+from glm_ocr_spark.kernel.formatter import format_page, serialize_page
+from glm_ocr_spark.kernel.recognize import recognize
+from glm_ocr_spark.kernel.segment import segment
+
+_IMAGE_CLS_ID = LABEL2ID["image"]
+
+_EMPTY = {
+    "extracted_text": "",
+    "markdown": "",
+    "json": "[[]]",
+    "spans": [],
+    "n_blocks": 0,
+}
+
+
+def extract_turn(payload: str | None) -> dict:
+    """Extract main content from one turn payload.
+
+    Returns dict with:
+      extracted_text: str  — non-image block contents joined '\\n\\n'
+      markdown: str        — reference-format markdown (incl. image refs)
+      json: str            — reference-format json_result string
+      spans: list[(start, end, label)] — surviving blocks' char spans in
+                                         reading order (provenance)
+      n_blocks: int        — surviving block count
+    """
+    if not payload:
+        return dict(_EMPTY)
+
+    page_w, page_h, blocks = segment(payload)
+    if not blocks:
+        return dict(_EMPTY)
+
+    # ---- F1: score threshold (global + per-class) ----
+    kept = [
+        b for b in blocks
+        if b.score >= SCORE_THRESHOLD_BY_CLASS.get(b.cls_id, SCORE_THRESHOLD)
+    ]
+    if not kept:
+        return dict(_EMPTY)
+
+    # boxes matrix: (cls, score, x1, y1, x2, y2, order)
+    arr = np.array(
+        [[b.cls_id, b.score, *b.bbox, (b.order if b.order is not None else 0)]
+         for b in kept],
+        dtype=np.float64,
+    )
+    spans = [b.span for b in kept]
+    has_order = all(b.order is not None for b in kept)
+
+    def _take(idx: np.ndarray) -> None:
+        nonlocal arr, spans
+        arr = arr[idx]
+        spans = [spans[int(i)] for i in idx]
+
+    # ---- F3: NMS ----
+    _take(geo.nms(arr))
+    # ---- F4: oversized-image filter ----
+    _take(geo.filter_oversized_images(arr, _IMAGE_CLS_ID, page_w, page_h))
+    # ---- F5: per-class containment modes ----
+    _take(geo.apply_merge_modes(arr, LAYOUT_MERGE_BBOXES_MODE, PRESERVE_CLASS_IDS))
+    if len(arr) == 0:
+        return dict(_EMPTY)
+
+    # ---- O1: reading order ----
+    if has_order:
+        _take(np.argsort(arr[:, geo.ORDER], kind="stable"))
+    else:
+        _take(geo.xy_cut_order(arr[:, geo.X1:geo.Y2 + 1]))
+
+    # ---- T11: unclip (default (1.0, 1.0) = identity) ----
+    arr = geo.unclip(arr, LAYOUT_UNCLIP_RATIO)
+
+    # ---- F8: clamp + degenerate drop ----
+    arr, keep = geo.clamp_and_validate(arr, page_w, page_h)
+    _take(keep)
+    if len(arr) == 0:
+        return dict(_EMPTY)
+
+    # ---- task mapping, abandon drop, bbox 0-1000 normalize, dense index ----
+    id2label = {v: k for k, v in LABEL2ID.items()}
+    regions: list[dict] = []
+    valid_index = 0
+    for i in range(len(arr)):
+        cls_id = int(arr[i, geo.CLS])
+        label = id2label[cls_id]
+        task_type = LABEL_TO_TASK.get(label)
+        if task_type is None or task_type == "abandon":
+            continue
+        x1, y1, x2, y2 = arr[i, geo.X1:geo.Y2 + 1]
+        bbox_norm = [
+            int(x1 / page_w * 1000),
+            int(y1 / page_h * 1000),
+            int(x2 / page_w * 1000),
+            int(y2 / page_h * 1000),
+        ]
+        regions.append({
+            "index": valid_index,
+            "label": label,
+            "score": float(arr[i, geo.SCORE]),
+            "bbox_2d": bbox_norm,
+            "task_type": task_type,
+            "span": spans[i],
+        })
+        valid_index += 1
+    if not regions:
+        return dict(_EMPTY)
+
+    # ---- recognition (F7: skip -> None) ----
+    for r in regions:
+        r["content"] = recognize(payload, r["span"], r["task_type"])
+
+    # ---- formatter ----
+    page = format_page(regions)
+    json_str, markdown_str = serialize_page(page)
+
+    extracted_text = "\n\n".join(
+        r["content"] for r in page
+        if r.get("label") != "image" and r.get("content")
+    )
+    out_spans = [
+        (int(r["span"][0]), int(r["span"][1]), r["label"]) for r in page
+    ]
+    return {
+        "extracted_text": extracted_text,
+        "markdown": markdown_str,
+        "json": json_str,
+        "spans": out_spans,
+        "n_blocks": len(page),
+    }

@@ -1,0 +1,223 @@
+"""Payload segmentation: turn text -> candidate layout blocks with char spans.
+
+This is the CPU stand-in for the reference's layout-detection model
+(/root/reference/glmocr/layout/layout_detector.py:155-317). A turn's `text`
+payload is an HTML-ish document in one of two forms:
+
+1. **Annotated form** — the payload carries detector-style candidate blocks:
+   ``<block label="text" score="0.91" bbox="50,120,950,160" order="2">...</block>``
+   (the analog of the model's raw detections: noisy, overlapping, unordered).
+   Optional ``<page w="W" h="H"/>`` sets the page size (default 1000x1000).
+
+2. **Plain DOM form** — ordinary tags (``h1 h2 h3 p table header footer nav
+   aside pre figcaption img``) and blank-line-separated paragraphs. Labels are
+   inferred from tags/content, scores from Arc90/trafilatura-style
+   text-length + link-density features, geometry synthesized top-to-bottom.
+
+Both paths emit the same Block records: (cls_id, label, score, bbox in page
+coords, order or None, char span (start, end) into the payload).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+from glm_ocr_spark.config import LABEL2ID, PAGE_HEIGHT, PAGE_WIDTH
+
+
+@dataclass
+class Block:
+    cls_id: int
+    label: str
+    score: float
+    bbox: tuple[float, float, float, float]
+    order: int | None  # reading order from payload annotation; None -> XY-cut
+    span: tuple[int, int]  # char offsets of the block content in the payload
+
+
+_PAGE_RE = re.compile(r'<page\s+w="(\d+)"\s+h="(\d+)"\s*/>')
+_BLOCK_RE = re.compile(r"<block\s+([^>]*?)>(.*?)</block>", re.DOTALL)
+_ATTR_RE = re.compile(r'(\w+)="([^"]*)"')
+
+# plain-DOM tags -> 25-class labels
+_TAG_LABEL = {
+    "h1": "doc_title",
+    "h2": "paragraph_title",
+    "h3": "paragraph_title",
+    "p": "text",
+    "table": "table",
+    "header": "header",
+    "footer": "footer",
+    "nav": "aside_text",
+    "aside": "aside_text",
+    "pre": "algorithm",
+    "blockquote": "text",
+    "figcaption": "figure_title",
+}
+_DOM_RE = re.compile(
+    r"<(h1|h2|h3|p|table|header|footer|nav|aside|pre|blockquote|figcaption)"
+    r"(?:\s[^>]*)?>(.*?)</\1>|<img\b[^>]*/?>",
+    re.DOTALL,
+)
+_LINK_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.DOTALL)
+_FORMULA_NUM_RE = re.compile(r"^[\(（]\s*\d+(?:\.\d+)*\s*[\)）]$")
+_PAGE_NUM_RE = re.compile(r"^(?:-\s*)?\d{1,4}(?:\s*-)?$")
+_TAG_STRIP_RE = re.compile(r"<[^>]+>")
+
+
+def parse_page_size(payload: str) -> tuple[float, float]:
+    m = _PAGE_RE.search(payload)
+    if m:
+        return float(m.group(1)), float(m.group(2))
+    return float(PAGE_WIDTH), float(PAGE_HEIGHT)
+
+
+def link_density(fragment: str) -> float:
+    """Fraction of visible characters inside <a> anchors (Arc90-style)."""
+    total = len(_TAG_STRIP_RE.sub("", fragment))
+    if total == 0:
+        return 0.0
+    linked = sum(len(_TAG_STRIP_RE.sub("", m.group(1)))
+                 for m in _LINK_RE.finditer(fragment))
+    return min(1.0, linked / total)
+
+
+def plain_block_score(fragment: str) -> float:
+    """Deterministic Arc90/trafilatura-style confidence for a DOM block:
+    longer text scores higher, link-heavy text scores lower."""
+    text = _TAG_STRIP_RE.sub("", fragment).strip()
+    n = len(text)
+    if n == 0:
+        return 0.05
+    score = 0.45 + 0.12 * math.log10(n) - 0.8 * link_density(fragment)
+    return round(min(0.99, max(0.05, score)), 4)
+
+
+def _classify_plain(tag: str | None, fragment: str) -> str:
+    """Infer a 25-class label for a plain-DOM block."""
+    inner = _TAG_STRIP_RE.sub("", fragment).strip()
+    if tag == "img" or (tag is None and fragment.lstrip().startswith("<img")):
+        return "image"
+    if tag in _TAG_LABEL:
+        label = _TAG_LABEL[tag]
+        if label == "text":
+            if inner.startswith("$$") and inner.endswith("$$"):
+                return "display_formula"
+            if _FORMULA_NUM_RE.match(inner):
+                return "formula_number"
+        return label
+    # untagged paragraph
+    if inner.startswith("$$") and inner.endswith("$$"):
+        return "display_formula"
+    if _FORMULA_NUM_RE.match(inner):
+        return "formula_number"
+    if _PAGE_NUM_RE.match(inner):
+        return "number"
+    return "text"
+
+
+def segment(payload: str) -> tuple[float, float, list[Block]]:
+    """Segment one turn payload into candidate blocks.
+
+    Returns (page_w, page_h, blocks). Annotated form takes precedence; a
+    payload with no recognizable block structure yields a single text block
+    covering the whole payload (the reference's OCR-only analog would treat
+    the page as one region).
+    """
+    page_w, page_h = parse_page_size(payload)
+
+    annotated = list(_BLOCK_RE.finditer(payload))
+    if annotated:
+        blocks: list[Block] = []
+        any_missing_order = False
+        for m in annotated:
+            attrs = dict(_ATTR_RE.findall(m.group(1)))
+            label = attrs.get("label", "text")
+            if label not in LABEL2ID:
+                label = "text"
+            try:
+                score = float(attrs.get("score", "1.0"))
+            except ValueError:  # malformed annotation: trust-nothing default
+                score = 1.0
+            bbox_s = attrs.get("bbox", "")
+            try:
+                x1, y1, x2, y2 = (float(v) for v in bbox_s.split(","))
+            except ValueError:
+                x1, y1, x2, y2 = 0.0, 0.0, page_w, page_h
+            order_s = attrs.get("order")
+            try:
+                order = int(order_s) if order_s is not None else None
+            except ValueError:
+                order = None
+            if order is None:
+                any_missing_order = True
+            blocks.append(Block(
+                cls_id=LABEL2ID[label], label=label, score=score,
+                bbox=(x1, y1, x2, y2), order=order,
+                span=(m.start(2), m.end(2)),
+            ))
+        if any_missing_order:
+            for b in blocks:
+                b.order = None
+        return page_w, page_h, blocks
+
+    # Plain-DOM form: alternate tagged elements and untagged paragraph runs.
+    blocks = []
+    pos = 0
+    pieces: list[tuple[str | None, int, int]] = []  # (tag, start, end)
+    for m in _DOM_RE.finditer(payload):
+        for para_start, para_end in _paragraph_runs(payload, pos, m.start()):
+            pieces.append((None, para_start, para_end))
+        if m.group(1) is not None:
+            pieces.append((m.group(1), m.start(2), m.end(2)))
+        else:  # <img .../>
+            pieces.append(("img", m.start(), m.end()))
+        pos = m.end()
+    for para_start, para_end in _paragraph_runs(payload, pos, len(payload)):
+        pieces.append((None, para_start, para_end))
+
+    n = len(pieces)
+    if n == 0:
+        return page_w, page_h, []
+    for k, (tag, start, end) in enumerate(pieces):
+        fragment = payload[start:end]
+        label = _classify_plain(tag, fragment)
+        score = plain_block_score(fragment)
+        y1 = (k * 1000.0) / n
+        y2 = y1 + max(1.0, 1000.0 / n - 5.0)
+        blocks.append(Block(
+            cls_id=LABEL2ID[label], label=label, score=score,
+            bbox=(50.0, y1, 950.0, min(y2, 1000.0)), order=k + 1,
+            span=(start, end),
+        ))
+    return page_w, page_h, blocks
+
+
+_PARA_RE = re.compile(r"[^\n](?:.*[^\s])?", re.DOTALL)
+_PARA_SPLIT_RE = re.compile(r"\n\s*\n")
+
+
+def _paragraph_runs(payload: str, start: int, end: int):
+    """Yield absolute (start, end) spans of blank-line-separated, non-empty,
+    non-markup-noise paragraphs in payload[start:end]."""
+    chunk = payload[start:end]
+    pos = 0
+    bounds = []
+    for sep in _PARA_SPLIT_RE.finditer(chunk):
+        bounds.append((pos, sep.start()))
+        pos = sep.end()
+    bounds.append((pos, len(chunk)))
+    for s, e in bounds:
+        part = chunk[s:e]
+        stripped = part.strip()
+        if not stripped or _is_markup_noise(stripped):
+            continue
+        lead = len(part) - len(part.lstrip())
+        yield (start + s + lead, start + s + lead + len(stripped))
+
+
+def _is_markup_noise(s: str) -> bool:
+    """True for fragments that are pure markup leftovers (e.g. only tags)."""
+    return _TAG_STRIP_RE.sub("", s).strip() == ""

@@ -1,0 +1,154 @@
+"""Spark extraction pipeline: transcripts table -> extracted table.
+
+Design (SURVEY.md §7.0): per-turn work is pure and independent, so the whole
+extraction is a single `mapInPandas` — a shuffle-free narrow map. The only
+data that ever needs to cross the wire downstream is the extracted output
+(spans + text), never the raw payloads, satisfying the north rule's
+"shuffle volume bounded by map-side block scoring".
+
+Scale notes (100 TB / 10^12 turns):
+  - No groupBy/join anywhere in the hot path: throughput scales linearly with
+    executors; scaling efficiency is bounded only by input split balance.
+  - Skew: a single 10^6-turn conversation is harmless because the unit of
+    parallelism is the *turn*, not the conversation. `repartition_salted` is
+    provided for writers that want conv_id-clustered output without hot
+    partitions (salt = turn_idx // block).
+  - Arrow batches bound executor memory (spark.sql.execution.arrow.
+    maxRecordsPerBatch); payloads never accumulate beyond one batch.
+  - Filter/prune: reading from parquet/Iceberg, only the 5 input columns are
+    scanned (ReadSchema pruning), and `role`/`tool` predicates push down.
+
+Reference trace replaced: the 3-thread queue pipeline
+(/root/reference/glmocr/pipeline/pipeline.py:282-605) becomes Spark stage
+pipelining; the per-region HTTP fan-out (:430-507) becomes per-batch
+vectorized kernel calls.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from glm_ocr_spark.kernel.extract import extract_turn
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType([
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("label", T.StringType()),
+    ])
+)
+
+EXTRACTED_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("extracted_text", T.StringType()),
+    T.StructField("markdown", T.StringType()),
+    T.StructField("json", T.StringType()),
+    T.StructField("spans", SPAN_TYPE),
+    T.StructField("n_blocks", T.IntegerType()),
+])
+
+
+def get_spark(app: str = "glm-ocr-spark", master: str | None = None,
+              shuffle_partitions: int = 32) -> SparkSession:
+    b = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if master:
+        b = b.master(master)
+    return b.getOrCreate()
+
+
+def _extract_batches(batches):
+    """mapInPandas body: vectorized over Arrow batches; per-turn kernel calls
+    inside the batch (the reference also loops per page within a GPU batch,
+    layout_detector.py:186-251). Turns with a non-empty `tool` are the
+    skip-task analog (FIXTURES.md §1): kept, but content is None."""
+    for pdf in batches:
+        texts = pdf["text"]
+        tools = pdf["tool"]
+        n = len(pdf)
+        ext = [None] * n
+        md = [None] * n
+        js = [None] * n
+        spans: list = [[] for _ in range(n)]
+        nb = [0] * n
+        for i in range(n):
+            tool = tools.iat[i]
+            if tool is not None and tool != "":
+                js[i] = "[[]]"
+                continue
+            r = extract_turn(texts.iat[i])
+            ext[i] = r["extracted_text"]
+            md[i] = r["markdown"]
+            js[i] = r["json"]
+            spans[i] = [
+                {"start": s, "end": e, "label": lab} for s, e, lab in r["spans"]
+            ]
+            nb[i] = r["n_blocks"]
+        yield pd.DataFrame({
+            "conv_id": pdf["conv_id"],
+            "turn_idx": pdf["turn_idx"],
+            "role": pdf["role"],
+            "extracted_text": ext,
+            "markdown": md,
+            "json": js,
+            "spans": spans,
+            "n_blocks": nb,
+        })
+
+
+def extract_transcripts(df: DataFrame) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted.
+
+    Narrow map: no shuffle, no collect. Column-prunes its own input so a
+    SELECT * upstream still reads only what the kernel needs.
+    """
+    return df.select("conv_id", "turn_idx", "role", "text", "tool").mapInPandas(
+        _extract_batches, schema=EXTRACTED_SCHEMA
+    )
+
+
+def repartition_salted(df: DataFrame, num_partitions: int,
+                       salt_block: int = 64) -> DataFrame:
+    """Repartition by (conv_id, turn_idx // salt_block).
+
+    Keeps a conversation's turns mostly co-located for clustered writes while
+    splitting pathological 10^5-turn conversations across partitions
+    (SURVEY.md §4 "skew handling"; reference has no analog — its skew story
+    is the 128-worker cap, pipeline.py:432).
+    """
+    return df.repartition(
+        num_partitions,
+        F.col("conv_id"),
+        (F.col("turn_idx") / F.lit(salt_block)).cast("long"),
+    )
+
+
+def run(spark: SparkSession, input_path: str, output_path: str,
+        fmt: str = "parquet") -> None:
+    """Batch job entry: read transcripts, extract, write partitioned output.
+
+    Output is ordered within files by (conv_id, turn_idx) via a range
+    repartition + in-partition sort (north-rule stable ordering) without a
+    global single-reducer sort.
+    """
+    df = spark.read.format(fmt).load(input_path)
+    out = extract_transcripts(df)
+    (
+        out.repartitionByRange("conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(output_path)
+    )
