@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship extraction pipeline over sf0.001 documents
+  treated as one-turn transcripts.
+- ``queries()``: one entry per implemented operator slice (SURVEY.md §2 +
+  the training-data operator family).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query.
+  Omitted (rows-only check) for ops whose hash families/UDF internals are
+  not expressible in ANSI SQL: minhash LSH, simhash, hyperplane-LSH ANN.
+
+Column names are aliased identically on both sides (driver hashes values
+under sorted column names).
 """
 
 from __future__ import annotations
@@ -12,27 +17,507 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_transcripts(docs: DataFrame) -> DataFrame:
+    """Adapter: documents -> the transcripts shape (input_hint), one turn per
+    document; conv_id = source, turn_idx = doc_id."""
+    return docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.current_timestamp().alias("ts"),  # unused by extraction
+    )
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full extraction pipeline over sf0.001 documents."""
+    from glm_ocr_spark.pipeline import extract_transcripts
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    out = extract_transcripts(_docs_as_transcripts(docs))
+    return out.orderBy("conv_id", "turn_idx")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_extract_docs(spark, sf_dir):
+    from glm_ocr_spark.pipeline import extract_transcripts
+
+    out = extract_transcripts(_docs_as_transcripts(_docs(spark, sf_dir)))
+    return out.select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        F.col("conv_id").alias("source"),
+        "extracted_text",
+        "n_blocks",
+        F.element_at("spans", 1)["start"].alias("span_start"),
+        F.element_at("spans", 1)["end"].alias("span_end"),
+    )
+
+
+def q_t1_clean_punct_runs(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import t1_clean_punct_runs
+
+    return t1_clean_punct_runs(_docs(spark, sf_dir))
+
+
+def q_t5_title_format(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import t5_title_format
+
+    return t5_title_format(_docs(spark, sf_dir))
+
+
+def q_t7_enum_normalize(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import t7_enum_normalize
+
+    return t7_enum_normalize(_docs(spark, sf_dir))
+
+
+def q_f9_nonempty_filter(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import f9_nonempty_filter
+
+    return f9_nonempty_filter(_docs(spark, sf_dir))
+
+
+def q_o3_reindex(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import o3_reindex
+
+    return o3_reindex(_docs(spark, sf_dir))
+
+
+def q_a5_concat_per_group(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import a5_concat_per_group
+
+    return a5_concat_per_group(_docs(spark, sf_dir))
+
+
+def q_j1_adjacent_merge(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import j1_adjacent_merge_events
+
+    return j1_adjacent_merge_events(_events(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    from glm_ocr_spark.operators.text_analysis import with_token_count
+
+    return with_token_count(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    from glm_ocr_spark.operators.text_analysis import with_quality_score
+
+    return with_quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from glm_ocr_spark.operators.text_analysis import with_lang_id
+
+    return with_lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from glm_ocr_spark.operators.text_analysis import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from glm_ocr_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from glm_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from glm_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.05)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from glm_ocr_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=7)
+
+
+def _query_vec(spark, sf_dir):
+    emb = _table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return [float(v) for v in row["embedding"]]
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from glm_ocr_spark.operators.similarity import cosine_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_id=0)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from glm_ocr_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_emb_neardup(spark, sf_dir):
+    from glm_ocr_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.5)
+
+
+def q_mm_media_meta(spark, sf_dir):
+    from glm_ocr_spark.operators.multimodal import (
+        docs_as_media,
+        extract_media_features,
+    )
+
+    feats = extract_media_features(docs_as_media(_docs(spark, sf_dir)))
+    return feats.select("media_id", "mime", "byte_len")
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import q1_pricing_summary
+
+    return q1_pricing_summary(_table(spark, sf_dir, "lineitem"))
+
+
+def q_segment_revenue(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import order_customer_join
+
+    return order_customer_join(
+        _table(spark, sf_dir, "orders"), _table(spark, sf_dir, "customer")
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import revenue_by_nation
+
+    return revenue_by_nation(
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "nation"),
+    )
+
+
+def q_topk_events_per_user(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import topk_events_per_user
+
+    return topk_events_per_user(_events(spark, sf_dir), k=3)
+
+
+def q_sessionize(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+def q_events_hourly_rollup(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import events_hourly_rollup
+
+    return events_hourly_rollup(_events(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_docs": q_extract_docs,
+        "t1_clean_punct_runs": q_t1_clean_punct_runs,
+        "t5_title_format": q_t5_title_format,
+        "t7_enum_normalize": q_t7_enum_normalize,
+        "f9_nonempty_filter": q_f9_nonempty_filter,
+        "o3_reindex": q_o3_reindex,
+        "a5_concat_per_group": q_a5_concat_per_group,
+        "j1_adjacent_merge": q_j1_adjacent_merge,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_neardup": q_emb_neardup,
+        "mm_media_meta": q_mm_media_meta,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "segment_revenue": q_segment_revenue,
+        "revenue_by_nation": q_revenue_by_nation,
+        "topk_events_per_user": q_topk_events_per_user,
+        "sessionize": q_sessionize,
+        "events_hourly_rollup": q_events_hourly_rollup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered: region nation customer
+# supplier part orders lineitem events documents embeddings)
+# --------------------------------------------------------------------------
+
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+_STOP = r"\b(the|a|an|of|and|in|to|is|for|on|with)\b"
+_PUNCT = r"[.,;:!?]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # documents.text is single-block plain text (no newlines/markup), so
+        # extraction reduces to: one text block, span (0, len), content = text
+        "extract_docs": """
+            SELECT doc_id, source,
+                   trim(text) AS extracted_text,
+                   1 AS n_blocks,
+                   0 AS span_start,
+                   length(text) AS span_end
+            FROM documents
+            WHERE trim(text) != ''
+        """,
+        "t1_clean_punct_runs": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '\\.{4,}', '...', 'g'),
+                       '·{4,}', '···', 'g'),
+                     '_{4,}', '___', 'g') AS cleaned
+            FROM documents
+        """,
+        "t5_title_format": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '# ' || regexp_replace(text, '^[#\\-\\*\\s]+', '')
+                        ELSE '## ' || regexp_replace(text, '^[#\\-\\*\\s]+', '')
+                   END AS title
+            FROM documents
+        """,
+        "t7_enum_normalize": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(trim(text), '^[·•]\\s*', '- '),
+                       '^\\*\\s+', '- '),
+                     '^\\((\\d+)\\)\\s*', '(\\1) ') AS normalized
+            FROM documents
+        """,
+        "f9_nonempty_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE trim(text) != '' AND n_chars >= 50
+        """,
+        "o3_reindex": """
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                     AS new_index
+            FROM documents WHERE n_chars >= 100
+        """,
+        "a5_concat_per_group": """
+            SELECT source,
+                   string_agg(substr(text, 1, 30), chr(10) || chr(10)
+                              ORDER BY doc_id) AS markdown,
+                   count(*) AS n_blocks
+            FROM documents GROUP BY source
+        """,
+        "j1_adjacent_merge": """
+            WITH w AS (
+              SELECT event_id, user_id, event_type, value,
+                     lead(event_type) OVER
+                       (PARTITION BY user_id ORDER BY event_id) AS next_type,
+                     lead(value) OVER
+                       (PARTITION BY user_id ORDER BY event_id) AS next_value,
+                     lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY event_id) AS prev_type
+              FROM events)
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_type = 'click' AND next_type = 'purchase'
+                        THEN round(value + next_value, 6)
+                        ELSE round(value, 6) END AS merged_value
+            FROM w
+            WHERE NOT (event_type = 'purchase' AND prev_type = 'click')
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     length(text) AS nc,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS nt,
+                     len(regexp_extract_all(text, '{_STOP}')) AS ns,
+                     len(regexp_extract_all(text, '{_PUNCT}')) AS np
+              FROM documents)
+            SELECT doc_id, nt AS n_tokens,
+                   round(CASE WHEN nt > 0 THEN ns / nt ELSE 0 END, 6)
+                     AS stop_ratio,
+                   round(0.4 * least(1.0, nc / 500.0)
+                       + 0.4 * least(1.0,
+                           (CASE WHEN nt > 0 THEN ns / nt ELSE 0 END) * 4)
+                       + 0.2 * (1.0 - least(1.0,
+                           (CASE WHEN nc > 0 THEN np / nc ELSE 0 END) * 10)),
+                     6) AS quality_score
+            FROM m
+        """,
+        "lang_id": r"""
+            WITH v AS (
+              SELECT doc_id, lang,
+                len(regexp_extract_all(text, '\b(the|and|of|is|are)\b')) AS en,
+                len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS de,
+                len(regexp_extract_all(text, '\b(el|la|los|las|es|y)\b')) AS es,
+                len(regexp_extract_all(text, '\b(le|la|les|est|et|une)\b')) AS fr,
+                len(regexp_extract_all(text, '[一-鿿]')) AS cjk
+              FROM documents)
+            SELECT doc_id, lang,
+                   CASE WHEN cjk > 0 THEN 'zh'
+                        WHEN en >= de AND en >= es AND en >= fr AND en > 0
+                          THEN 'en'
+                        WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+                        WHEN es >= fr AND es > 0 THEN 'es'
+                        WHEN fr > 0 THEN 'fr'
+                        ELSE 'und' END AS lang_pred
+            FROM v
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS content_hash,
+                   count(*) AS n_copies,
+                   min(doc_id) AS keeper_id
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH words AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle
+              FROM words, unnest(
+                CASE WHEN len(ws) >= 3
+                     THEN list_distinct(list_transform(
+                            generate_series(1, len(ws) - 2),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     ELSE [array_to_string(ws, ' ')] END) AS t(shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id1, id2,
+                   round(n_common / (s1.n_sh + s2.n_sh - n_common), 6)
+                     AS jaccard
+            FROM pairs
+            JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+            WHERE n_common / (s1.n_sh + s2.n_sh - n_common) >= 0.05
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], qv)
+                         / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+            FROM embeddings, q
+            WHERE vec_id != 0
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "mm_media_meta": """
+            SELECT doc_id AS media_id,
+                   'application/octet-stream' AS mime,
+                   octet_length(encode(text)) AS byte_len
+            FROM documents
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 4) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY revenue DESC
+        """,
+        "topk_events_per_user": """
+            WITH r AS (
+              SELECT user_id, event_id, event_type, round(value, 6) AS value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC)
+                       AS rnk
+              FROM events)
+            SELECT * FROM r WHERE rnk <= 3
+        """,
+        "sessionize": """
+            WITH f AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            > 1800
+                          OR lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                          THEN 1 ELSE 0 END AS is_start
+              FROM events)
+            SELECT user_id, event_id,
+                   sum(is_start) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM f
+        """,
+        "events_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    }

@@ -366,12 +366,28 @@ def iter_turn_keys(sf: float):
             yield c, t
 
 
-def transcripts_df(spark, sf: float, num_partitions: int | None = None):
-    """Distributed generation: offsets table -> mapInPandas row expansion.
+def turn_offsets(sf: float) -> list[int]:
+    """Cumulative turn offsets per conversation: offsets[c] = first global
+    turn ordinal of conversation c; offsets[-1] = total turns. O(n_conv) on
+    the driver — thousands of entries, not per-turn."""
+    offsets = [0]
+    for c in range(n_conversations(sf)):
+        offsets.append(offsets[-1] + n_turns(c))
+    return offsets
 
-    Each Spark partition derives its rows independently (pure function of the
-    key) — no driver-side materialization, no shuffle.
+
+def transcripts_df(spark, sf: float, num_partitions: int | None = None):
+    """Distributed generation over *global turn ordinals*.
+
+    spark.range over [0, total_turns) gives perfectly uniform partitions by
+    construction — a 1500-turn heavy conversation is spread across many
+    partitions instead of pinning one (the generation-side analog of the
+    pipeline's salted repartition; SURVEY.md §7.3.4 skew handling). Each row
+    is derived independently from its ordinal via binary search in the
+    offsets table (pure function of the key; no shuffle, no driver data).
     """
+    import bisect
+
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -384,19 +400,22 @@ def transcripts_df(spark, sf: float, num_partitions: int | None = None):
         T.StructField("ts", T.TimestampType()),
     ])
 
-    n_conv = n_conversations(sf)
-    parts = num_partitions or max(8, spark.sparkContext.defaultParallelism)
-    conv_df = spark.range(0, n_conv, 1, parts).withColumnRenamed("id", "conv_idx")
+    offsets = turn_offsets(sf)
+    total = offsets[-1]
+    parts = num_partitions or min(
+        max(64, spark.sparkContext.defaultParallelism * 4), max(total // 500, 1)
+    )
+    ordinals = spark.range(0, total, 1, parts)
 
     def expand(batches):
         for pdf in batches:
             rows = []
-            for conv_idx in pdf["conv_idx"]:
-                c = int(conv_idx)
-                for t in range(n_turns(c)):
-                    rows.append(gen_turn_row(c, t))
+            for ordinal in pdf["id"]:
+                o = int(ordinal)
+                c = bisect.bisect_right(offsets, o) - 1
+                rows.append(gen_turn_row(c, o - offsets[c]))
             yield pd.DataFrame(
                 rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
             )
 
-    return conv_df.mapInPandas(expand, schema=schema)
+    return ordinals.mapInPandas(expand, schema=schema)

@@ -1,0 +1,203 @@
+"""Relational operator slices: the SQL-expressible skeleton of the engine.
+
+Two families:
+
+1. Extraction analogs over `documents`/`events` — the reference's T/F/O/J/A
+   ops (SURVEY.md §2) re-expressed as Catalyst-native column expressions and
+   window functions, so the DuckDB oracle can verify the exact semantics the
+   pandas-UDF kernel implements (same regexes, same thresholds).
+
+2. Classic relational queries over the TPC-H-ish tables — aggregation, joins
+   (broadcast for small dims), windows, sessionization — demonstrating the
+   shuffle-conscious plan shapes the 100 TB deployment uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------- extraction analogs (T ops)
+
+def t1_clean_punct_runs(docs: DataFrame) -> DataFrame:
+    """T1 punctuation-run collapse (result_formatter.py:228-231) as pure
+    regexp_replace chain — backreference-free so RE2 oracles can run it."""
+    c = F.col("text")
+    c = F.regexp_replace(c, r"\.{4,}", "...")
+    c = F.regexp_replace(c, "·{4,}", "···")
+    c = F.regexp_replace(c, "_{4,}", "___")
+    return docs.select("doc_id", c.alias("cleaned"))
+
+
+def t5_title_format(docs: DataFrame) -> DataFrame:
+    """T5 title normalization (result_formatter.py:247-256): strip leading
+    #/- markers, prefix by class; class derived from source parity here."""
+    stripped = F.regexp_replace(F.col("text"), r"^[#\-\*\s]+", "")
+    is_doc_title = F.col("doc_id") % 2 == 0
+    return docs.select(
+        "doc_id",
+        F.when(is_doc_title, F.concat(F.lit("# "), stripped))
+        .otherwise(F.concat(F.lit("## "), stripped)).alias("title"),
+    )
+
+
+def t7_enum_normalize(docs: DataFrame) -> DataFrame:
+    """T7 bullet/enumeration normalization (result_formatter.py:272-297)."""
+    c = F.trim(F.col("text"))
+    c = F.regexp_replace(c, r"^[·•]\s*", "- ")
+    c = F.regexp_replace(c, r"^\*\s+", "- ")
+    c = F.regexp_replace(c, r"^\((\d+)\)\s*", r"($1) ")
+    return docs.select("doc_id", c.alias("normalized"))
+
+
+def f9_nonempty_filter(docs: DataFrame) -> DataFrame:
+    """F9 empty-content drop + F2 degenerate filter (min length)."""
+    return docs.filter(
+        (F.trim(F.col("text")) != "") & (F.col("n_chars") >= 50)
+    ).select("doc_id", "n_chars")
+
+
+def o3_reindex(docs: DataFrame) -> DataFrame:
+    """O3 index reassignment: dense 0-based index per group after filtering
+    (result_formatter.py:174-178) as row_number over a window."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return docs.filter(F.col("n_chars") >= 100).select(
+        "doc_id", "source", (F.row_number().over(w) - 1).alias("new_index")
+    )
+
+
+def a5_concat_per_group(docs: DataFrame) -> DataFrame:
+    """A5 markdown concatenation: ordered per-group join with '\\n\\n'
+    (result_formatter.py:206-210) via sorted collect_list."""
+    return (
+        docs.select("source", "doc_id", F.substring("text", 1, 30).alias("frag"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "frag"))),
+                    lambda s: s["frag"],
+                ),
+                "\n\n",
+            ).alias("markdown"),
+            F.count("*").alias("n_blocks"),
+        )
+    )
+
+
+def j1_adjacent_merge_events(events: DataFrame) -> DataFrame:
+    """J1 formula⋈formula_number adjacency-merge analog over events:
+    a 'click' immediately followed by a 'purchase' (same user, event order)
+    absorbs its value as a tag; the consumed row is dropped
+    (mirrors result_formatter.py:446-534 lead/consume semantics)."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    with_next = events.select(
+        "event_id", "user_id", "event_type", "value",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    merged = with_next.withColumn(
+        "merged_value",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("next_type") == "purchase"),
+            F.round(F.col("value") + F.col("next_value"), 6),
+        ).otherwise(F.round(F.col("value"), 6)),
+    )
+    # drop consumed rows: a purchase whose previous event was a click
+    return merged.filter(
+        ~((F.col("event_type") == "purchase") & (F.col("prev_type") == "click"))
+    ).select("event_id", "user_id", "event_type", "merged_value")
+
+
+# ------------------------------------------------- classic relational slices
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with map-side partial agg."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def order_customer_join(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Broadcast join: customer (small dim) is broadcast, orders never
+    shuffles. At 100 TB the fact side stays partition-local."""
+    return (
+        orders.join(F.broadcast(customer),
+                    orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_mktsegment" if "c_mktsegment" in customer.columns
+                 else "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+def revenue_by_nation(orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame) -> DataFrame:
+    """Two-level broadcast join: orders ⋈ customer ⋈ nation, grouped by
+    nation name."""
+    return (
+        orders.join(F.broadcast(customer),
+                    orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation),
+              customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+def topk_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Window rank: top-k events by value per user. Single shuffle on
+    user_id; rank prunes before any downstream join."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.select("user_id", "event_id", "event_type",
+                      F.round("value", 6).alias("value"),
+                      F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: gap > threshold starts a new session; session id is a
+    running sum of boundary flags (X4 readiness-watermark analog,
+    pipeline.py:389-428, as pure window algebra)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = events.select(
+        "user_id", "event_id", "ts",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+         .alias("is_start"),
+    )
+    return flagged.select(
+        "user_id", "event_id",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+
+
+def events_hourly_rollup(events: DataFrame) -> DataFrame:
+    """Time-bucketed rollup (hypertable-rollup style): truncate to hour,
+    aggregate per (hour, event_type)."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )

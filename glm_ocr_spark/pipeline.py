@@ -63,13 +63,18 @@ def get_spark(app: str = "glm-ocr-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
+        # CPU-bound pandas-UDF extraction wants far smaller input splits than
+        # the 128 MB scan default: one split must be minutes of CPU, not
+        # hours, and there must be >= cores splits for small inputs too.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "512k")
     )
     if master:
         b = b.master(master)
     return b.getOrCreate()
 
 
-def _extract_batches(batches):
+def _extract_batches(batches, passthrough=()):
     """mapInPandas body: vectorized over Arrow batches; per-turn kernel calls
     inside the batch (the reference also loops per page within a GPU batch,
     layout_detector.py:186-251). Turns with a non-empty `tool` are the
@@ -96,7 +101,7 @@ def _extract_batches(batches):
                 {"start": s, "end": e, "label": lab} for s, e, lab in r["spans"]
             ]
             nb[i] = r["n_blocks"]
-        yield pd.DataFrame({
+        out = {
             "conv_id": pdf["conv_id"],
             "turn_idx": pdf["turn_idx"],
             "role": pdf["role"],
@@ -105,18 +110,30 @@ def _extract_batches(batches):
             "json": js,
             "spans": spans,
             "n_blocks": nb,
-        })
+        }
+        for col in passthrough:
+            out[col] = pdf[col]
+        yield pd.DataFrame(out)
 
 
-def extract_transcripts(df: DataFrame) -> DataFrame:
+def extract_transcripts(df: DataFrame,
+                        passthrough: tuple[str, ...] = ()) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted.
 
     Narrow map: no shuffle, no collect. Column-prunes its own input so a
-    SELECT * upstream still reads only what the kernel needs.
+    SELECT * upstream still reads only what the kernel needs. `passthrough`
+    names extra input columns copied verbatim to the output (e.g. `ts` for
+    streaming watermarks).
     """
-    return df.select("conv_id", "turn_idx", "role", "text", "tool").mapInPandas(
-        _extract_batches, schema=EXTRACTED_SCHEMA
-    )
+    schema = T.StructType(EXTRACTED_SCHEMA.fields + [
+        df.schema[c] for c in passthrough
+    ])
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", *passthrough]
+
+    def body(batches):
+        yield from _extract_batches(batches, passthrough=passthrough)
+
+    return df.select(*cols).mapInPandas(body, schema=schema)
 
 
 def repartition_salted(df: DataFrame, num_partitions: int,

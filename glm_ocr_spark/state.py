@@ -1,0 +1,135 @@
+"""Checkpoint / resume: per-partition completion watermarks with lineage
+and row/byte metrics.
+
+Replicates the reference backend's task-queue resume model
+(/root/reference/apps/backend/app/models/task.py:59-94 task status/progress,
+app/core/lock_manager.py:23-123 lock acquire/expiry-recovery,
+app/core/retry_handler.py:18-140 retry/dead-letter) with Spark-native
+primitives (SURVEY.md §2.8 X8/K4):
+
+  - work is split into `n_buckets` deterministic buckets:
+    bucket = pmod(xxhash64(conv_id), n_buckets) — lineage is the bucket
+    definition itself (pure function of the key), so any bucket can be
+    recomputed independently;
+  - output is written `partitionBy("bucket")` with dynamic partition
+    overwrite, so re-processing a bucket is idempotent (K4's retry);
+  - a parquet state table (FIXTURES.md §3 schema) records one row per
+    completed bucket: status, rows_out, bytes_out, input snapshot id,
+    completed_at — the completion watermark;
+  - resume = anti-join pending buckets against completed state rows
+    (lock_manager's recover_expired_locks analog: an incomplete bucket
+    simply has no state row and is picked up again);
+  - DB locks are unnecessary: Spark task retries + atomic parquet commit
+    protocol replace them (X7 analog).
+
+At 10^12 turns the state table has `n_buckets` rows (thousands), not
+per-turn rows — reading it is O(buckets), and a killed run resumes having
+lost at most one bucket of work.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("rows_out", T.LongType()),
+    T.StructField("bytes_out", T.LongType()),
+    T.StructField("input_snapshot", T.StringType()),
+    T.StructField("completed_at", T.TimestampType()),
+])
+
+
+def bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+
+
+def read_completed_buckets(spark: SparkSession, state_path: str,
+                           input_snapshot: str) -> set[int]:
+    try:
+        state = spark.read.schema(STATE_SCHEMA).parquet(state_path)
+    except Exception:  # noqa: BLE001 - no state yet
+        return set()
+    rows = (
+        state.filter((F.col("status") == "completed")
+                     & (F.col("input_snapshot") == input_snapshot))
+        .select("bucket").distinct().collect()
+    )
+    return {r["bucket"] for r in rows}
+
+
+def append_state(spark: SparkSession, state_path: str, bucket: int,
+                 rows_out: int, bytes_out: int, input_snapshot: str) -> None:
+    row = [(bucket, "completed", rows_out, bytes_out, input_snapshot,
+            dt.datetime.utcnow())]
+    spark.createDataFrame(row, STATE_SCHEMA).write.mode("append").parquet(
+        state_path
+    )
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    output_path: str,
+    state_path: str,
+    n_buckets: int = 16,
+    input_snapshot: str = "v1",
+    fail_after_buckets: int | None = None,
+) -> dict:
+    """Extract with per-bucket checkpointing; resumable after a kill.
+
+    `fail_after_buckets` injects a crash after N buckets (for resume tests —
+    the driver-side analog of kill -9). Returns run metrics.
+
+    Each bucket is one narrow Spark job (filter by bucket -> extract ->
+    dynamic-overwrite its output partition) followed by an atomic state
+    append; data commit strictly precedes the watermark commit, so a crash
+    between them re-does the bucket idempotently (never skips it).
+    """
+    from glm_ocr_spark.pipeline import extract_transcripts
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    done = read_completed_buckets(spark, state_path, input_snapshot)
+    pending = [b for b in range(n_buckets) if b not in done]
+
+    src = transcripts.withColumn("bucket", bucket_col(n_buckets))
+    processed = 0
+    t0 = time.time()
+    for b in pending:
+        part = src.filter(F.col("bucket") == b).drop("bucket")
+        out = extract_transcripts(part).withColumn("bucket", F.lit(b))
+        out.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+
+        written = spark.read.parquet(output_path).filter(F.col("bucket") == b)
+        rows_out = written.count()
+        bytes_out = _dir_bytes(os.path.join(output_path, f"bucket={b}"))
+        append_state(spark, state_path, b, rows_out, bytes_out, input_snapshot)
+
+        processed += 1
+        if fail_after_buckets is not None and processed >= fail_after_buckets:
+            raise RuntimeError(f"injected failure after {processed} buckets")
+
+    return {
+        "resumed_buckets": len(done),
+        "processed_buckets": processed,
+        "elapsed_sec": time.time() - t0,
+    }
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total

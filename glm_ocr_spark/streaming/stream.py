@@ -1,0 +1,62 @@
+"""Structured Streaming: continuous extraction over arriving transcripts.
+
+The reference's 3-stage threaded pipeline with bounded queues and per-unit
+readiness counting (/root/reference/glmocr/pipeline/pipeline.py:282-605,
+X1-X4 of SURVEY.md §2.8) maps onto Structured Streaming:
+
+  - bounded queues / backpressure  -> micro-batch sizing
+    (maxFilesPerTrigger / maxOffsetsPerTrigger)
+  - per-page recognition fan-out   -> the same zero-shuffle mapInPandas
+    extraction, applied per micro-batch
+  - per-unit readiness + ordered emission (A3/X4: emit a unit when all its
+    pages are done) -> event-time watermark + per-conversation windowed
+    aggregation: a conversation's rollup is emitted once its turns' event
+    times pass the watermark.
+
+Batch and streaming share the exact same extraction transformation —
+`extract_transcripts` is stream-safe (stateless narrow map).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glm_ocr_spark.pipeline import extract_transcripts
+
+
+def read_transcripts_stream(spark: SparkSession, input_path: str,
+                            max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over a transcripts parquet directory. The schema
+    comes from the static reader (file streams require an explicit schema)."""
+    schema = spark.read.parquet(input_path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def extract_stream(transcripts: DataFrame) -> DataFrame:
+    """Streaming extraction: identical plan to the batch path (stateless)."""
+    return extract_transcripts(transcripts)
+
+
+def conversation_progress_stream(transcripts: DataFrame,
+                                 watermark: str = "10 minutes",
+                                 window: str = "1 hour") -> DataFrame:
+    """Per-conversation completion rollup (A3/X4 analog): counts turns and
+    extracted blocks per conversation, emitting finalized rows as event time
+    passes the watermark. Late turns beyond the watermark are dropped, the
+    streaming analog of the reference's done-counting emission gate
+    (pipeline.py:389-428)."""
+    extracted = extract_transcripts(transcripts, passthrough=("ts",))
+    return (
+        extracted.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("conv_id"))
+        .agg(
+            F.count("*").alias("turns_done"),
+            F.sum("n_blocks").alias("blocks_total"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+    )

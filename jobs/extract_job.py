@@ -1,0 +1,44 @@
+"""spark-submit entry: checkpointed transcript extraction.
+
+  spark-submit --py-files glm_ocr_spark.zip jobs/extract_job.py \
+      --input <transcripts path> --output <dir> --state <dir> \
+      [--buckets 256] [--snapshot v1] [--format parquet]
+
+On a cluster, --buckets should be ~2-4x the executor count: each bucket is
+one resumable unit of work (state-table row), and a killed run loses at most
+one bucket. With no --state, runs the single-shot path (pipeline.run).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from glm_ocr_spark.pipeline import get_spark, run
+from glm_ocr_spark.state import run_with_checkpoint
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--state", default=None)
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--snapshot", default="v1")
+    ap.add_argument("--format", default="parquet")
+    args = ap.parse_args()
+
+    spark = get_spark(app="glm-ocr-extract")
+    if args.state:
+        df = spark.read.format(args.format).load(args.input)
+        metrics = run_with_checkpoint(
+            spark, df, args.output, args.state,
+            n_buckets=args.buckets, input_snapshot=args.snapshot,
+        )
+        print(f"extract_job: {metrics}")
+    else:
+        run(spark, args.input, args.output, fmt=args.format)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Structured Streaming tests: continuous extraction must equal the batch
+result (same transformation, availableNow trigger), and the watermark rollup
+must aggregate per conversation."""
+
+import pytest
+
+from glm_ocr_spark.data.gen import transcripts_df
+from glm_ocr_spark.streaming import (
+    conversation_progress_stream,
+    extract_stream,
+)
+from glm_ocr_spark.streaming.stream import read_transcripts_stream
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "transcripts")
+    transcripts_df(spark, 0.001).filter("turn_idx < 6").write.parquet(path)
+    return path
+
+
+def test_stream_extraction_equals_batch(spark, transcripts_path, tmp_path):
+    from glm_ocr_spark.pipeline import extract_transcripts
+
+    stream = read_transcripts_stream(spark, transcripts_path,
+                                     max_files_per_trigger=4)
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        extract_stream(stream).writeStream
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    stream_rows = sorted(
+        (r["conv_id"], r["turn_idx"], r["extracted_text"], r["json"])
+        for r in spark.read.parquet(out_path).collect()
+    )
+    batch_rows = sorted(
+        (r["conv_id"], r["turn_idx"], r["extracted_text"], r["json"])
+        for r in extract_transcripts(
+            spark.read.parquet(transcripts_path)).collect()
+    )
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
+def test_progress_rollup(spark, transcripts_path, tmp_path):
+    # 5-minute windows over the ~50-minute ts span: all but the last window
+    # pass the watermark and emit in append mode
+    stream = read_transcripts_stream(spark, transcripts_path,
+                                     max_files_per_trigger=4)
+    rollup = conversation_progress_stream(stream, watermark="1 minute",
+                                          window="5 minutes")
+    ckpt = str(tmp_path / "ckpt2")
+    q = (
+        rollup.writeStream
+        .format("memory")
+        .queryName("rollup")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # append mode emits only windows fully past the watermark; with
+    # availableNow + a short watermark every historical window closes
+    rows = spark.sql("select * from rollup").collect()
+    assert len(rows) > 0
+    by_conv = {r["conv_id"]: r for r in rows}
+    assert all(r["turns_done"] >= 1 for r in rows)
+    assert all(r["blocks_total"] >= 0 for r in rows)
+    assert len(by_conv) > 1
