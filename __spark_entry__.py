@@ -76,6 +76,14 @@ def q_extract_docs(spark, sf_dir):
     )
 
 
+def q_conv_rollup(spark, sf_dir):
+    """Unit-level assembly over extracted turns (J7/A2/A5)."""
+    from glm_ocr_spark.pipeline import conversation_rollup, extract_transcripts
+
+    out = extract_transcripts(_docs_as_transcripts(_docs(spark, sf_dir)))
+    return conversation_rollup(out).withColumnRenamed("conv_id", "source")
+
+
 def q_t1_clean_punct_runs(spark, sf_dir):
     from glm_ocr_spark.operators.relational import t1_clean_punct_runs
 
@@ -248,6 +256,7 @@ def q_events_hourly_rollup(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_docs": q_extract_docs,
+        "conv_rollup": q_conv_rollup,
         "t1_clean_punct_runs": q_t1_clean_punct_runs,
         "t5_title_format": q_t5_title_format,
         "t7_enum_normalize": q_t7_enum_normalize,
@@ -299,6 +308,18 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS span_end
             FROM documents
             WHERE trim(text) != ''
+        """,
+        # extracted markdown == trim(text) for these single-block payloads
+        # (verified by the extract_docs oracle), so the rollup reduces to an
+        # ordered string_agg per source
+        "conv_rollup": """
+            SELECT source,
+                   count(*) AS n_turns,
+                   sum(CASE WHEN trim(text) != '' THEN 1 ELSE 0 END)
+                     AS n_blocks_total,
+                   string_agg(trim(text), chr(10) || chr(10)
+                              ORDER BY doc_id) AS conversation_markdown
+            FROM documents GROUP BY source
         """,
         "t1_clean_punct_runs": """
             SELECT doc_id,

@@ -63,18 +63,24 @@ def ensure_transcripts(spark, sf: float) -> str:
     return path
 
 
-def extract_throughput(spark, input_path: str,
-                       warm: bool = True) -> tuple[int, float]:
+def extract_throughput(spark, input_path: str, warm: bool = True,
+                       passes: int = 2) -> tuple[int, float]:
     """Steady-state extraction throughput: one warm pass (spins up and
-    module-loads every Python worker), then the timed pass."""
+    module-loads every Python worker), then best of `passes` timed passes
+    (min wall time — standard practice to cut scheduler noise)."""
     from glm_ocr_spark.pipeline import extract_transcripts
 
     df = spark.read.parquet(input_path)
     if warm:
         _force(extract_transcripts(df))
-    t0 = time.time()
-    n = _force(extract_transcripts(df))
-    return n, time.time() - t0
+    best = None
+    n = 0
+    for _ in range(max(1, passes)):
+        t0 = time.time()
+        n = _force(extract_transcripts(df))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return n, best
 
 
 def run_extract_only(master: str, input_path: str) -> None:

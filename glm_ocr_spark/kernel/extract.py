@@ -39,6 +39,7 @@ from glm_ocr_spark.kernel.recognize import recognize
 from glm_ocr_spark.kernel.segment import segment
 
 _IMAGE_CLS_ID = LABEL2ID["image"]
+id2label = {v: k for k, v in LABEL2ID.items()}
 
 _EMPTY = {
     "extracted_text": "",
@@ -114,7 +115,6 @@ def extract_turn(payload: str | None) -> dict:
         return dict(_EMPTY)
 
     # ---- task mapping, abandon drop, bbox 0-1000 normalize, dense index ----
-    id2label = {v: k for k, v in LABEL2ID.items()}
     regions: list[dict] = []
     valid_index = 0
     for i in range(len(arr)):

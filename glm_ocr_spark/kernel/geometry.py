@@ -106,21 +106,24 @@ def apply_merge_modes(boxes: np.ndarray, merge_modes: dict[int, str],
     if n == 0:
         return np.empty(0, dtype=np.int64)
     base = containment_matrix(boxes)  # i contained in j
-    preserved = np.isin(boxes[:, CLS].astype(np.int64), list(preserve_ids))
+    cls = boxes[:, CLS].astype(np.int64)
+    preserved = np.zeros(n, dtype=bool)
+    for pid in preserve_ids:
+        preserved |= cls == pid
     # reference skips pairs where box i is preserved (i never "contained")
     contained = base & ~preserved[:, None]
 
     keep = np.ones(n, dtype=bool)
-    cls = boxes[:, CLS].astype(np.int64)
+    # All 'large' categories batch into one matrix op: the per-category AND
+    # of "not contained in a box of category c" over c in L is exactly
+    # "not contained in any box whose class is in L".
+    large_cats = np.array(
+        [c for c, m in merge_modes.items() if m == "large"], dtype=np.int64)
+    if large_cats.size:
+        j_is_large = np.isin(cls, large_cats)
+        keep &= ~(contained & j_is_large[None, :]).any(axis=1)
     for category, mode in merge_modes.items():
-        if mode == "union":
-            continue
-        if mode == "large":
-            # pairs (i contained in j) where j is this category
-            pair = contained & (cls[None, :] == category)
-            contained_by_other = pair.any(axis=1)
-            keep &= ~contained_by_other
-        elif mode == "small":
+        if mode == "small":
             # pairs (i contained in j) where i is this category
             pair = contained & (cls[:, None] == category)
             contained_by_other = pair.any(axis=1)

@@ -136,6 +136,32 @@ def extract_transcripts(df: DataFrame,
     return df.select(*cols).mapInPandas(body, schema=schema)
 
 
+def conversation_rollup(extracted: DataFrame) -> DataFrame:
+    """Unit-level assembly (J7/A2/A5 of SURVEY.md §2): turns -> one row per
+    conversation with ordered markdown joined '\\n\\n' (the reference joins a
+    unit's pages the same way, result_formatter.py:206-210; server merge
+    server.py:113-117) plus block/turn counts.
+
+    Single shuffle on conv_id with map-side partial aggregation; the payload
+    columns are long gone by this point, so shuffle volume is output-sized.
+    """
+    return (
+        extracted.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("n_blocks").alias("n_blocks_total"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "markdown"))),
+                    lambda s: s["markdown"],
+                ),
+                "\n\n",
+            ).alias("conversation_markdown"),
+        )
+    )
+
+
 def repartition_salted(df: DataFrame, num_partitions: int,
                        salt_block: int = 64) -> DataFrame:
     """Repartition by (conv_id, turn_idx // salt_block).
