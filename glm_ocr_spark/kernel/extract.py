@@ -50,7 +50,8 @@ _EMPTY = {
 }
 
 
-def extract_turn(payload: str | None) -> dict:
+def extract_turn(payload: str | None, *, segmenter=None,
+                 recognizer=None, formatter=None) -> dict:
     """Extract main content from one turn payload.
 
     Returns dict with:
@@ -60,11 +61,21 @@ def extract_turn(payload: str | None) -> dict:
       spans: list[(start, end, label)] — surviving blocks' char spans in
                                          reading order (provenance)
       n_blocks: int        — surviving block count
+
+    Extension surface (the reference's pluggable-component pattern:
+    BaseLayoutDetector ABC glmocr/layout/base.py:13-52, custom
+    ResultFormatter/BasePostProcessor README.md:292-309, task prompt
+    dispatch config.yaml:124-133):
+      segmenter(payload) -> (page_w, page_h, [Block])  — detector override
+      recognizer(payload, span, task_type) -> str|None — per-task content
+      formatter(regions) -> regions                    — post-process override
+    Defaults reproduce GLM-OCR semantics; overrides swap one stage without
+    touching the distributed plumbing.
     """
     if not payload:
         return dict(_EMPTY)
 
-    page_w, page_h, blocks = segment(payload)
+    page_w, page_h, blocks = (segmenter or segment)(payload)
     if not blocks:
         return dict(_EMPTY)
 
@@ -143,11 +154,12 @@ def extract_turn(payload: str | None) -> dict:
         return dict(_EMPTY)
 
     # ---- recognition (F7: skip -> None) ----
+    rec = recognizer or recognize
     for r in regions:
-        r["content"] = recognize(payload, r["span"], r["task_type"])
+        r["content"] = rec(payload, r["span"], r["task_type"])
 
     # ---- formatter ----
-    page = format_page(regions)
+    page = (formatter or format_page)(regions)
     json_str, markdown_str = serialize_page(page)
 
     extracted_text = "\n\n".join(

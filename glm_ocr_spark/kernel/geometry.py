@@ -204,6 +204,15 @@ def xy_cut_order(boxes: np.ndarray) -> np.ndarray:
     if n <= 1:
         return idx
 
+    # Sanitize intervals: inverted boxes (x1 > x2 / y1 > y2) would place the
+    # cut outside every interval start, making one bucket swallow the whole
+    # group -> infinite recursion. Geometry-order uses the normalized spans;
+    # degenerate boxes are dropped later by clamp_and_validate regardless.
+    xs_lo = np.minimum(boxes[:, 0], boxes[:, 2])
+    xs_hi = np.maximum(boxes[:, 0], boxes[:, 2])
+    ys_lo = np.minimum(boxes[:, 1], boxes[:, 3])
+    ys_hi = np.maximum(boxes[:, 1], boxes[:, 3])
+
     def _gaps(lo: np.ndarray, hi: np.ndarray) -> list[float]:
         order = np.argsort(lo, kind="stable")
         cuts = []
@@ -217,22 +226,25 @@ def xy_cut_order(boxes: np.ndarray) -> np.ndarray:
     def _rec(sub: np.ndarray, axis_first: int) -> list[int]:
         if len(sub) <= 1:
             return list(sub)
-        b = boxes[sub]
         for axis in (axis_first, 1 - axis_first):
-            lo = b[:, 1] if axis == 0 else b[:, 0]  # axis 0: split on y
-            hi = b[:, 3] if axis == 0 else b[:, 2]
+            lo = ys_lo[sub] if axis == 0 else xs_lo[sub]  # axis 0: split on y
+            hi = ys_hi[sub] if axis == 0 else xs_hi[sub]
             cuts = _gaps(lo, hi)
             if cuts:
-                out: list[int] = []
+                groups = []
                 prev = -np.inf
                 for c in cuts + [np.inf]:
                     mask = (lo > prev) & (lo <= c)
                     if mask.any():
-                        out.extend(_rec(sub[mask], 1 - axis))
+                        groups.append(sub[mask])
                     prev = c
-                return out
+                if len(groups) >= 2:  # progress guard
+                    out: list[int] = []
+                    for g in groups:
+                        out.extend(_rec(g, 1 - axis))
+                    return out
         # no gap on either axis: stable top-to-bottom, then left-to-right
-        order = np.lexsort((b[:, 0], b[:, 1]))
+        order = np.lexsort((xs_lo[sub], ys_lo[sub]))
         return list(sub[order])
 
     return np.asarray(_rec(idx, 0), dtype=np.int64)

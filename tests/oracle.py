@@ -273,36 +273,46 @@ def _apply_merge_modes(blocks):
 
 
 def _xy_cut(blocks):
-    """Recursive XY-cut: same spec as the kernel, plain-Python."""
+    """Recursive XY-cut: same spec as the kernel, plain-Python. Intervals are
+    min/max-normalized (inverted boxes would break bucket progress), with a
+    progress guard requiring >= 2 groups per accepted cut axis."""
+    def span(b, axis):
+        if axis == 0:
+            return (min(b["bbox"][1], b["bbox"][3]),
+                    max(b["bbox"][1], b["bbox"][3]))
+        return (min(b["bbox"][0], b["bbox"][2]),
+                max(b["bbox"][0], b["bbox"][2]))
+
     def gaps(items, axis):
-        lo_i, hi_i = (1, 3) if axis == 0 else (0, 2)
-        order = sorted(range(len(items)), key=lambda k: items[k]["bbox"][lo_i])
+        order = sorted(range(len(items)), key=lambda k: span(items[k], axis)[0])
         cuts = []
-        cover = items[order[0]]["bbox"][hi_i]
+        cover = span(items[order[0]], axis)[1]
         for k in order[1:]:
-            lo = items[k]["bbox"][lo_i]
+            lo, hi = span(items[k], axis)
             if lo > cover:
                 cuts.append((cover + lo) / 2.0)
-            cover = max(cover, items[k]["bbox"][hi_i])
+            cover = max(cover, hi)
         return cuts
 
     def rec(items, axis_first):
         if len(items) <= 1:
             return items
         for axis in (axis_first, 1 - axis_first):
-            lo_i = 1 if axis == 0 else 0
             cs = gaps(items, axis)
             if cs:
-                out = []
+                groups = []
                 prev = -math.inf
                 for c in cs + [math.inf]:
-                    grp = [b for b in items
-                           if prev < b["bbox"][lo_i] <= c]
+                    grp = [b for b in items if prev < span(b, axis)[0] <= c]
                     if grp:
-                        out.extend(rec(grp, 1 - axis))
+                        groups.append(grp)
                     prev = c
-                return out
-        return sorted(items, key=lambda b: (b["bbox"][1], b["bbox"][0]))
+                if len(groups) >= 2:
+                    out = []
+                    for g in groups:
+                        out.extend(rec(g, 1 - axis))
+                    return out
+        return sorted(items, key=lambda b: (span(b, 0)[0], span(b, 1)[0]))
 
     return rec(list(blocks), 0)
 

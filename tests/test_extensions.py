@@ -1,0 +1,76 @@
+"""U1-U3 pluggability + P1/P2 canonicalization tests."""
+
+from glm_ocr_spark.kernel.canonicalize import canonicalize_payload
+from glm_ocr_spark.kernel.extract import extract_turn
+from glm_ocr_spark.kernel.segment import Block
+
+
+PAYLOAD = (
+    '<block label="text" score="0.9" bbox="50,100,950,200" order="1">'
+    "hello world</block>"
+)
+
+
+class TestPluggability:
+    def test_custom_recognizer(self):
+        def shouting(payload, span, task_type):
+            return payload[span[0]:span[1]].upper()
+
+        r = extract_turn(PAYLOAD, recognizer=shouting)
+        assert r["extracted_text"] == "HELLO WORLD"
+
+    def test_custom_segmenter(self):
+        def whole_page(payload):
+            return 1000.0, 1000.0, [Block(
+                cls_id=22, label="text", score=1.0,
+                bbox=(0.0, 0.0, 1000.0, 1000.0), order=1,
+                span=(0, len(payload)))]
+
+        r = extract_turn("raw content here", segmenter=whole_page)
+        assert r["n_blocks"] == 1
+        assert r["spans"] == [(0, 16, "text")]
+
+    def test_custom_formatter(self):
+        def drop_everything(regions):
+            return []
+
+        r = extract_turn(PAYLOAD, formatter=drop_everything)
+        assert r["n_blocks"] == 0
+        assert r["json"] == "[[]]"
+
+    def test_defaults_unchanged(self):
+        assert extract_turn(PAYLOAD)["extracted_text"] == "hello world"
+
+
+class TestCanonicalize:
+    def test_nfc_normalization(self):
+        # e + combining acute -> precomposed é
+        assert canonicalize_payload("café") == "café"
+
+    def test_newline_canonicalization(self):
+        assert canonicalize_payload("a\r\nb\rc") == "a\nb\nc"
+
+    def test_identity_within_budget(self):
+        assert canonicalize_payload(PAYLOAD) == PAYLOAD
+
+    def test_clamp_at_block_boundary(self):
+        blocks = PAYLOAD * 10
+        out = canonicalize_payload(blocks, max_chars=len(PAYLOAD) * 3 + 10)
+        assert out.endswith("</block>")
+        assert len(out) <= len(PAYLOAD) * 3 + 10
+        # still a clean payload: extraction works on the clamped text
+        assert extract_turn(out)["n_blocks"] >= 1
+
+    def test_clamp_at_paragraph_boundary(self):
+        text = "para one\n\npara two\n\npara three"
+        # budget 20 fits exactly through the second boundary (ends at 20)
+        assert canonicalize_payload(text, max_chars=20) == "para one\n\npara two\n\n"
+        # budget 15 only fits the first paragraph + boundary
+        assert canonicalize_payload(text, max_chars=15) == "para one\n\n"
+
+    def test_hard_cut_without_boundary(self):
+        out = canonicalize_payload("x" * 100, max_chars=10)
+        assert out == "x" * 10
+
+    def test_none_passthrough(self):
+        assert canonicalize_payload(None) is None
