@@ -211,6 +211,80 @@ def q_mm_media_meta(spark, sf_dir):
     return feats.select("media_id", "mime", "byte_len")
 
 
+def q_asof_view_before_purchase(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent view at
+    or before it (operators/asof.py, union-sort-window, no UDF)."""
+    from glm_ocr_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.round("value", 6).alias("purchase_value"))
+    # dedupe right side to one row per (user_id, ts) for deterministic ties
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("view_value"))
+    )
+    out = asof_join(purchases, views, on="ts", by="user_id",
+                    value_cols=["view_value"])
+    return out.select(
+        "user_id", "event_id", "purchase_value",
+        F.col("view_value_right").alias("prior_view_value"),
+    )
+
+
+def q_semi_join_active_customers(spark, sf_dir):
+    """Left-semi join: customers having at least one order."""
+    cust = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders")
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                     "left_semi").select("c_custkey", "c_mktsegment")
+
+
+def q_anti_join_inactive_parts(spark, sf_dir):
+    """Left-anti join: parts with no lineitem shipped before 1994."""
+    part = _table(spark, sf_dir, "part")
+    li = _table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1995-06-01"))
+    return part.join(li, part["p_partkey"] == li["l_partkey"],
+                     "left_anti").select("p_partkey", "p_brand")
+
+
+def q_q6_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-aggregate with full predicate pushdown."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+             .alias("revenue"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+def q_rollup_events(spark, sf_dir):
+    """ROLLUP aggregation: per-type totals plus grand total."""
+    return (
+        _events(spark, sf_dir)
+        .rollup("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def q_distinct_users_per_type(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     from glm_ocr_spark.operators.relational import q1_pricing_summary
 
@@ -276,6 +350,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "emb_neardup": q_emb_neardup,
         "mm_media_meta": q_mm_media_meta,
+        "asof_view_before_purchase": q_asof_view_before_purchase,
+        "semi_join_active_customers": q_semi_join_active_customers,
+        "anti_join_inactive_parts": q_anti_join_inactive_parts,
+        "q6_revenue": q_q6_revenue,
+        "rollup_events": q_rollup_events,
+        "distinct_users_per_type": q_distinct_users_per_type,
         "q1_pricing_summary": q_q1_pricing_summary,
         "segment_revenue": q_segment_revenue,
         "revenue_by_nation": q_revenue_by_nation,
@@ -480,6 +560,47 @@ def oracle_sql() -> dict[str, str]:
                    'application/octet-stream' AS mime,
                    octet_length(encode(text)) AS byte_len
             FROM documents
+        """,
+        "asof_view_before_purchase": """
+            WITH purchases AS (
+              SELECT user_id, ts, event_id, round(value, 6) AS purchase_value
+              FROM events WHERE event_type = 'purchase'),
+            views AS (
+              SELECT user_id, ts, round(max(value), 6) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+            SELECT p.user_id, p.event_id, p.purchase_value,
+                   v.view_value AS prior_view_value
+            FROM purchases p
+            ASOF LEFT JOIN views v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "semi_join_active_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "anti_join_inactive_parts": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE NOT EXISTS
+              (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+                 AND l_shipdate < TIMESTAMP '1995-06-01')
+        """,
+        "q6_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.09
+              AND l_quantity < 24
+        """,
+        "rollup_events": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY ROLLUP(event_type)
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

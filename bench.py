@@ -85,7 +85,7 @@ def extract_throughput(spark, input_path: str, warm: bool = True,
 
 def run_extract_only(master: str, input_path: str) -> None:
     spark = _get_spark(master)
-    n, dt = extract_throughput(spark, input_path, warm=True)
+    n, dt = extract_throughput(spark, input_path, warm=True, passes=3)
     spark.stop()
     print(json.dumps({"rows": n, "sec": dt, "master": master}))
 
@@ -121,7 +121,11 @@ def scaling_runs(input_path: str) -> dict:
     is reported as a secondary point with the ceiling caveat.
     """
     out = {"hw_effective_cores": measure_effective_cores()}
-    for cores in (4, 16, 8, 32):
+    best: dict[int, float] = {}
+    rows_seen = 0
+    # two interleaved sweeps per level, keep the best: single JVM samples are
+    # noisy on a shared box; best-of converges on the level's capability
+    for cores in (4, 16, 8, 32, 4, 16, 8, 32):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--extract-only",
              "--master", f"local[{cores}]", "--input", input_path],
@@ -129,8 +133,11 @@ def scaling_runs(input_path: str) -> dict:
         )
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
         r = json.loads(line)
-        out[f"local{cores}_sec"] = round(r["sec"], 2)
-        out[f"local{cores}_rows_per_sec"] = round(r["rows"] / r["sec"], 1)
+        rows_seen = r["rows"]
+        best[cores] = min(best.get(cores, 1e18), r["sec"])
+    for cores, sec in best.items():
+        out[f"local{cores}_sec"] = round(sec, 2)
+        out[f"local{cores}_rows_per_sec"] = round(rows_seen / sec, 1)
     out["efficiency_4_to_16"] = round(
         (out["local16_rows_per_sec"] / out["local4_rows_per_sec"]) / 4.0, 3
     )

@@ -117,10 +117,11 @@ def apply_merge_modes(boxes: np.ndarray, merge_modes: dict[int, str],
     # All 'large' categories batch into one matrix op: the per-category AND
     # of "not contained in a box of category c" over c in L is exactly
     # "not contained in any box whose class is in L".
-    large_cats = np.array(
-        [c for c, m in merge_modes.items() if m == "large"], dtype=np.int64)
-    if large_cats.size:
-        j_is_large = np.isin(cls, large_cats)
+    large_cats = [c for c, m in merge_modes.items() if m == "large"]
+    if large_cats:
+        lut = np.zeros(max(max(large_cats), int(cls.max())) + 1, dtype=bool)
+        lut[large_cats] = True
+        j_is_large = lut[cls]
         keep &= ~(contained & j_is_large[None, :]).any(axis=1)
     for category, mode in merge_modes.items():
         if mode == "small":

@@ -61,7 +61,12 @@ def get_spark(app: str = "glm-ocr-spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 2048-row Arrow batches: bigger batches raise throughput a little
+        # but 32 concurrent tasks x multi-MB buffers blows the 1 GiB netty
+        # direct-memory cap at sf0.1 payload sizes; 2048 + 2g headroom is the
+        # stable point.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.extraJavaOptions", "-XX:MaxDirectMemorySize=2g")
         .config("spark.sql.session.timeZone", "UTC")
         # CPU-bound pandas-UDF extraction wants far smaller input splits than
         # the 128 MB scan default: one split must be minutes of CPU, not
