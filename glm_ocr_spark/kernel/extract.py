@@ -50,6 +50,33 @@ _EMPTY = {
 }
 
 
+def extract_turn_ocr_only(payload: str | None) -> dict:
+    """Layout-off path: the whole payload is one region, markup-stripped and
+    cleaned — parity with ResultFormatter.format_ocr_result
+    (/root/reference/glmocr/postprocess/result_formatter.py:70-98): one
+    region dict {index: 0, label: 'text', content, bbox_2d: None} per page,
+    markdown = content. Multi-page join ('\\n\\n---\\n\\n') happens at the
+    conversation level (pipeline.ocr_only_conversation_markdown)."""
+    import json as _json
+
+    from glm_ocr_spark.kernel.recognize import strip_markup
+    from glm_ocr_spark.kernel.textproc import clean_content
+
+    content = clean_content(strip_markup(payload)) if payload else ""
+    json_str = _json.dumps(
+        [[{"index": 0, "label": "text", "content": content, "bbox_2d": None}]],
+        ensure_ascii=False,
+    )
+    span = [(0, len(payload), "text")] if payload else []
+    return {
+        "extracted_text": content,
+        "markdown": content,
+        "json": json_str,
+        "spans": span,
+        "n_blocks": 1 if content else 0,
+    }
+
+
 def extract_turn(payload: str | None, *, segmenter=None,
                  recognizer=None, formatter=None) -> dict:
     """Extract main content from one turn payload.

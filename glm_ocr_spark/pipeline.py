@@ -50,6 +50,10 @@ EXTRACTED_SCHEMA = T.StructType([
     T.StructField("json", T.StringType()),
     T.StructField("spans", SPAN_TYPE),
     T.StructField("n_blocks", T.IntegerType()),
+    # dead-letter column (X8 retry_handler/dead-letter analog,
+    # apps/backend/app/core/retry_handler.py:18-140): a poisoned payload is
+    # recorded, never fatal — one bad row must not fail a 10^12-row job
+    T.StructField("error", T.StringType()),
 ])
 
 
@@ -79,11 +83,14 @@ def get_spark(app: str = "glm-ocr-spark", master: str | None = None,
     return b.getOrCreate()
 
 
-def _extract_batches(batches, passthrough=()):
+def _extract_batches(batches, passthrough=(), extractor=None):
     """mapInPandas body: vectorized over Arrow batches; per-turn kernel calls
     inside the batch (the reference also loops per page within a GPU batch,
     layout_detector.py:186-251). Turns with a non-empty `tool` are the
-    skip-task analog (FIXTURES.md §1): kept, but content is None."""
+    skip-task analog (FIXTURES.md §1): kept, but content is None. A turn
+    whose extraction raises is dead-lettered into the `error` column instead
+    of failing the task."""
+    fn = extractor or extract_turn
     for pdf in batches:
         texts = pdf["text"]
         tools = pdf["tool"]
@@ -93,12 +100,18 @@ def _extract_batches(batches, passthrough=()):
         js = [None] * n
         spans: list = [[] for _ in range(n)]
         nb = [0] * n
+        err = [None] * n
         for i in range(n):
             tool = tools.iat[i]
             if tool is not None and tool != "":
                 js[i] = "[[]]"
                 continue
-            r = extract_turn(texts.iat[i])
+            try:
+                r = fn(texts.iat[i])
+            except Exception as e:  # noqa: BLE001 - dead-letter, never fatal
+                js[i] = "[[]]"
+                err[i] = f"{type(e).__name__}: {e}"[:500]
+                continue
             ext[i] = r["extracted_text"]
             md[i] = r["markdown"]
             js[i] = r["json"]
@@ -115,6 +128,7 @@ def _extract_batches(batches, passthrough=()):
             "json": js,
             "spans": spans,
             "n_blocks": nb,
+            "error": err,
         }
         for col in passthrough:
             out[col] = pdf[col]
@@ -122,23 +136,51 @@ def _extract_batches(batches, passthrough=()):
 
 
 def extract_transcripts(df: DataFrame,
-                        passthrough: tuple[str, ...] = ()) -> DataFrame:
+                        passthrough: tuple[str, ...] = (),
+                        mode: str = "layout") -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted.
 
     Narrow map: no shuffle, no collect. Column-prunes its own input so a
     SELECT * upstream still reads only what the kernel needs. `passthrough`
     names extra input columns copied verbatim to the output (e.g. `ts` for
-    streaming watermarks).
+    streaming watermarks). `mode`: "layout" (full block pipeline) or
+    "ocr_only" (whole payload as one region — the reference's
+    enable_layout=false path, pipeline.py:175-280).
     """
+    if mode == "ocr_only":
+        from glm_ocr_spark.kernel.extract import extract_turn_ocr_only
+        extractor = extract_turn_ocr_only
+    else:
+        extractor = None
     schema = T.StructType(EXTRACTED_SCHEMA.fields + [
         df.schema[c] for c in passthrough
     ])
     cols = ["conv_id", "turn_idx", "role", "text", "tool", *passthrough]
 
     def body(batches):
-        yield from _extract_batches(batches, passthrough=passthrough)
+        yield from _extract_batches(batches, passthrough=passthrough,
+                                    extractor=extractor)
 
     return df.select(*cols).mapInPandas(body, schema=schema)
+
+
+def ocr_only_conversation_markdown(extracted: DataFrame) -> DataFrame:
+    """Multi-page OCR-only markdown: turns joined with '\\n\\n---\\n\\n'
+    (reference format_multi_page_results, result_formatter.py:100-129)."""
+    return (
+        extracted.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "markdown"))),
+                    lambda s: s["markdown"],
+                ),
+                "\n\n---\n\n",
+            ).alias("conversation_markdown"),
+        )
+    )
 
 
 def conversation_rollup(extracted: DataFrame) -> DataFrame:

@@ -570,6 +570,24 @@ def _format_bullet_points(results, thr=10.0):
 
 
 # ---------------------------------------------------------------- end-to-end
+def oracle_extract_turn_ocr_only(payload, tool=""):
+    """Layout-off path (format_ocr_result, result_formatter.py:70-98)."""
+    if tool:
+        return {"extracted_text": None, "markdown": None, "json": "[[]]",
+                "spans": [], "n_blocks": 0}
+    content = _clean_content(_strip_markup(payload)) if payload else ""
+    json_str = json.dumps(
+        [[{"index": 0, "label": "text", "content": content, "bbox_2d": None}]],
+        ensure_ascii=False)
+    return {
+        "extracted_text": content,
+        "markdown": content,
+        "json": json_str,
+        "spans": [(0, len(payload), "text")] if payload else [],
+        "n_blocks": 1 if content else 0,
+    }
+
+
 def oracle_extract_turn(payload, tool=""):
     """Reference-style per-turn extraction; same contract as
     glm_ocr_spark.kernel.extract.extract_turn plus the tool-skip rule."""
