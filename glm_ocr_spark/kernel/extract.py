@@ -34,12 +34,42 @@ from glm_ocr_spark.config import (
     SCORE_THRESHOLD_BY_CLASS,
 )
 from glm_ocr_spark.kernel import geometry as geo
+from glm_ocr_spark.kernel import geometry_py as gpy
 from glm_ocr_spark.kernel.formatter import format_page, serialize_page
 from glm_ocr_spark.kernel.recognize import recognize
 from glm_ocr_spark.kernel.segment import segment
 
 _IMAGE_CLS_ID = LABEL2ID["image"]
 id2label = {v: k for k, v in LABEL2ID.items()}
+
+
+class ExtractConfig:
+    """Runtime-tunable extraction knobs, mirroring the reference's layout
+    config (config.yaml:183-233: threshold, threshold_by_class, layout_nms,
+    layout_unclip_ratio, layout_merge_bboxes_mode). Ships to executors
+    inside the UDF closure; defaults reproduce GLM-OCR's shipped config."""
+
+    __slots__ = ("score_threshold", "score_threshold_by_class", "nms_enabled",
+                 "unclip_ratio", "merge_modes", "preserve_ids")
+
+    def __init__(self, score_threshold: float = SCORE_THRESHOLD,
+                 score_threshold_by_class: dict[int, float] | None = None,
+                 nms_enabled: bool = True,
+                 unclip_ratio: tuple[float, float] = LAYOUT_UNCLIP_RATIO,
+                 merge_modes: dict[int, str] | None = None,
+                 preserve_ids: frozenset[int] = PRESERVE_CLASS_IDS):
+        self.score_threshold = score_threshold
+        self.score_threshold_by_class = (
+            dict(SCORE_THRESHOLD_BY_CLASS) if score_threshold_by_class is None
+            else score_threshold_by_class)
+        self.nms_enabled = nms_enabled
+        self.unclip_ratio = unclip_ratio
+        self.merge_modes = (dict(LAYOUT_MERGE_BBOXES_MODE) if merge_modes is None
+                            else merge_modes)
+        self.preserve_ids = preserve_ids
+
+
+DEFAULT_CONFIG = ExtractConfig()
 
 _EMPTY = {
     "extracted_text": "",
@@ -78,7 +108,8 @@ def extract_turn_ocr_only(payload: str | None) -> dict:
 
 
 def extract_turn(payload: str | None, *, segmenter=None,
-                 recognizer=None, formatter=None) -> dict:
+                 recognizer=None, formatter=None,
+                 config: ExtractConfig = DEFAULT_CONFIG) -> dict:
     """Extract main content from one turn payload.
 
     Returns dict with:
@@ -107,61 +138,96 @@ def extract_turn(payload: str | None, *, segmenter=None,
         return dict(_EMPTY)
 
     # ---- F1: score threshold (global + per-class) ----
+    thr_by_class = config.score_threshold_by_class
     kept = [
         b for b in blocks
-        if b.score >= SCORE_THRESHOLD_BY_CLASS.get(b.cls_id, SCORE_THRESHOLD)
+        if b.score >= thr_by_class.get(b.cls_id, config.score_threshold)
     ]
     if not kept:
         return dict(_EMPTY)
 
-    # boxes matrix: (cls, score, x1, y1, x2, y2, order)
-    arr = np.array(
-        [[b.cls_id, b.score, *b.bbox, (b.order if b.order is not None else 0)]
-         for b in kept],
-        dtype=np.float64,
-    )
-    spans = [b.span for b in kept]
     has_order = all(b.order is not None for b in kept)
+    spans = [b.span for b in kept]
 
-    def _take(idx: np.ndarray) -> None:
-        nonlocal arr, spans
-        arr = arr[idx]
-        spans = [spans[int(i)] for i in idx]
+    if len(kept) <= gpy.SMALL_N:
+        # ---- pure-Python fast path (numpy per-call overhead dominates at
+        # typical page block counts; identical IEEE-double semantics,
+        # equivalence enforced by tests/test_geometry_paths.py) ----
+        rows = [
+            (float(b.cls_id), float(b.score), float(b.bbox[0]),
+             float(b.bbox[1]), float(b.bbox[2]), float(b.bbox[3]),
+             float(b.order if b.order is not None else 0))
+            for b in kept
+        ]
 
-    # ---- F3: NMS ----
-    _take(geo.nms(arr))
-    # ---- F4: oversized-image filter ----
-    _take(geo.filter_oversized_images(arr, _IMAGE_CLS_ID, page_w, page_h))
-    # ---- F5: per-class containment modes ----
-    _take(geo.apply_merge_modes(arr, LAYOUT_MERGE_BBOXES_MODE, PRESERVE_CLASS_IDS))
-    if len(arr) == 0:
-        return dict(_EMPTY)
+        def _pick(idx: list[int]) -> None:
+            nonlocal rows, spans
+            rows = [rows[i] for i in idx]
+            spans = [spans[i] for i in idx]
 
-    # ---- O1: reading order ----
-    if has_order:
-        _take(np.argsort(arr[:, geo.ORDER], kind="stable"))
+        if config.nms_enabled:
+            _pick(gpy.nms(rows))
+        _pick(gpy.filter_oversized_images(rows, _IMAGE_CLS_ID, page_w, page_h))
+        _pick(gpy.apply_merge_modes(rows, config.merge_modes,
+                                    config.preserve_ids))
+        if not rows:
+            return dict(_EMPTY)
+        if has_order:
+            _pick(sorted(range(len(rows)), key=lambda i: rows[i][6]))
+        else:
+            _pick(gpy.xy_cut_order(rows))
+        rows = gpy.unclip(rows, config.unclip_ratio)
+        rows, kept_idx = gpy.clamp_and_validate(rows, page_w, page_h)
+        spans = [spans[i] for i in kept_idx]
+        survivors = [
+            (int(r[0]), float(r[1]), r[2], r[3], r[4], r[5], spans[i])
+            for i, r in enumerate(rows)
+        ]
     else:
-        _take(geo.xy_cut_order(arr[:, geo.X1:geo.Y2 + 1]))
+        # ---- vectorized path for pathological block counts ----
+        arr = np.array(
+            [[b.cls_id, b.score, *b.bbox,
+              (b.order if b.order is not None else 0)] for b in kept],
+            dtype=np.float64,
+        )
 
-    # ---- T11: unclip (default (1.0, 1.0) = identity) ----
-    arr = geo.unclip(arr, LAYOUT_UNCLIP_RATIO)
+        def _take(idx) -> None:
+            nonlocal arr, spans
+            arr = arr[idx]
+            spans = [spans[int(i)] for i in idx]
 
-    # ---- F8: clamp + degenerate drop ----
-    arr, keep = geo.clamp_and_validate(arr, page_w, page_h)
-    _take(keep)
-    if len(arr) == 0:
+        if config.nms_enabled:
+            _take(geo.nms(arr))
+        _take(geo.filter_oversized_images(arr, _IMAGE_CLS_ID, page_w, page_h))
+        _take(geo.apply_merge_modes(arr, config.merge_modes,
+                                    config.preserve_ids))
+        if len(arr) == 0:
+            return dict(_EMPTY)
+        if has_order:
+            _take(np.argsort(arr[:, geo.ORDER], kind="stable"))
+        else:
+            _take(geo.xy_cut_order(arr[:, geo.X1:geo.Y2 + 1]))
+        arr = geo.unclip(arr, config.unclip_ratio)
+        arr, keep = geo.clamp_and_validate(arr, page_w, page_h)
+        _take(keep)
+        survivors = [
+            (int(arr[i, geo.CLS]), float(arr[i, geo.SCORE]),
+             float(arr[i, geo.X1]), float(arr[i, geo.Y1]),
+             float(arr[i, geo.X2]), float(arr[i, geo.Y2]), spans[i])
+            for i in range(len(arr))
+        ]
+
+    if not survivors:
         return dict(_EMPTY)
 
     # ---- task mapping, abandon drop, bbox 0-1000 normalize, dense index ----
     regions: list[dict] = []
     valid_index = 0
-    for i in range(len(arr)):
-        cls_id = int(arr[i, geo.CLS])
+    for cls_id, score, x1, y1, x2, y2, span in survivors:
         label = id2label[cls_id]
         task_type = LABEL_TO_TASK.get(label)
         if task_type is None or task_type == "abandon":
             continue
-        x1, y1, x2, y2 = arr[i, geo.X1:geo.Y2 + 1]
         bbox_norm = [
             int(x1 / page_w * 1000),
             int(y1 / page_h * 1000),
@@ -171,10 +237,10 @@ def extract_turn(payload: str | None, *, segmenter=None,
         regions.append({
             "index": valid_index,
             "label": label,
-            "score": float(arr[i, geo.SCORE]),
+            "score": score,
             "bbox_2d": bbox_norm,
             "task_type": task_type,
-            "span": spans[i],
+            "span": span,
         })
         valid_index += 1
     if not regions:

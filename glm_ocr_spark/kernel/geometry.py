@@ -37,10 +37,10 @@ def pairwise_iou(coords: np.ndarray) -> np.ndarray:
     yi1 = np.maximum(y1[:, None], y1[None, :])
     xi2 = np.minimum(x2[:, None], x2[None, :])
     yi2 = np.minimum(y2[:, None], y2[None, :])
-    inter = np.maximum(0.0, xi2 - xi1 + 1) * np.maximum(0.0, yi2 - yi1 + 1)
-    area = (x2 - x1 + 1) * (y2 - y1 + 1)
-    union = area[:, None] + area[None, :] - inter
     with np.errstate(divide="ignore", invalid="ignore"):
+        inter = np.maximum(0.0, xi2 - xi1 + 1) * np.maximum(0.0, yi2 - yi1 + 1)
+        area = (x2 - x1 + 1) * (y2 - y1 + 1)
+        union = area[:, None] + area[None, :] - inter
         return inter / union
 
 
@@ -59,7 +59,10 @@ def nms(boxes: np.ndarray, iou_same: float = NMS_IOU_SAME,
     iou_mat = pairwise_iou(boxes[:, X1:Y2 + 1])
     same_cls = boxes[:, CLS][:, None] == boxes[:, CLS][None, :]
     thr = np.where(same_cls, iou_same, iou_diff)
-    suppress_mat = iou_mat >= thr  # suppress j if picked i overlaps past thr
+    # reference keeps j only when iou < thr (layout_postprocess_utils.py:58);
+    # phrased as NOT(iou < thr) so a NaN IoU (degenerate/inf boxes)
+    # suppresses, exactly like the Python comparison does
+    suppress_mat = ~(iou_mat < thr)
 
     alive = np.ones(n, dtype=bool)
     kept: list[int] = []

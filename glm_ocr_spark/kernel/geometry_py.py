@@ -1,0 +1,214 @@
+"""Small-n geometry fast path (pure Python, tuple-based).
+
+Layout pages carry ~5-30 blocks; at that size numpy's per-call overhead
+costs more than the math. This module mirrors glm_ocr_spark.kernel.geometry
+exactly (same IEEE-double arithmetic, same tie-breaking, same thresholds)
+on parallel tuples instead of arrays; extract_turn dispatches here for
+n <= SMALL_N and to the vectorized path above it. Equivalence between the
+two paths is enforced by a dedicated randomized test
+(tests/test_geometry_paths.py) on top of the kernel-vs-oracle gate.
+
+Row format: tuple (cls_id, score, x1, y1, x2, y2, order) of Python floats.
+"""
+
+from __future__ import annotations
+
+from glm_ocr_spark.config import (
+    CONTAINMENT_OVERLAP_RATIO,
+    NMS_IOU_DIFF,
+    NMS_IOU_SAME,
+    OVERSIZE_AREA_THRESHOLD_LANDSCAPE,
+    OVERSIZE_AREA_THRESHOLD_PORTRAIT,
+)
+
+SMALL_N = 64
+
+
+def iou(a, b) -> float:
+    """+1-pixel IoU (layout_postprocess_utils.py:7-28 convention)."""
+    ix1 = a[2] if a[2] > b[2] else b[2]
+    iy1 = a[3] if a[3] > b[3] else b[3]
+    ix2 = a[4] if a[4] < b[4] else b[4]
+    iy2 = a[5] if a[5] < b[5] else b[5]
+    iw = ix2 - ix1 + 1
+    ih = iy2 - iy1 + 1
+    if iw <= 0 or ih <= 0:
+        inter = 0.0
+    else:
+        inter = iw * ih
+    a1 = (a[4] - a[2] + 1) * (a[5] - a[3] + 1)
+    a2 = (b[4] - b[2] + 1) * (b[5] - b[3] + 1)
+    return inter / (a1 + a2 - inter)
+
+
+def nms(rows: list[tuple], iou_same: float = NMS_IOU_SAME,
+        iou_diff: float = NMS_IOU_DIFF) -> list[int]:
+    """Greedy dual-threshold NMS; np.argsort(score)[::-1] tie order (later
+    index first on equal scores)."""
+    order = sorted(range(len(rows)), key=lambda i: (-rows[i][1], -i))
+    kept: list[int] = []
+    while order:
+        cur = order[0]
+        kept.append(cur)
+        rest = []
+        cur_row = rows[cur]
+        for i in order[1:]:
+            thr = iou_same if rows[i][0] == cur_row[0] else iou_diff
+            if iou(cur_row, rows[i]) < thr:
+                rest.append(i)
+        order = rest
+    return kept
+
+
+def _contained_in(a, b) -> bool:
+    """a >= 0.8-contained in b (no +1 convention)."""
+    area = (a[4] - a[2]) * (a[5] - a[3])
+    if area <= 0:
+        return False
+    iw = min(a[4], b[4]) - max(a[2], b[2])
+    if iw <= 0:
+        return False
+    ih = min(a[5], b[5]) - max(a[3], b[3])
+    if ih <= 0:
+        return False
+    return (iw * ih) / area >= CONTAINMENT_OVERLAP_RATIO
+
+
+def apply_merge_modes(rows: list[tuple], merge_modes: dict[int, str],
+                      preserve_ids: frozenset[int]) -> list[int]:
+    n = len(rows)
+    if n == 0:
+        return []
+    large = {c for c, m in merge_modes.items() if m == "large"}
+    small = [c for c, m in merge_modes.items() if m == "small"]
+    keep = [True] * n
+    # 'large' pass: drop i if contained in any box whose class is large-mode
+    for i in range(n):
+        ri = rows[i]
+        if int(ri[0]) in preserve_ids:
+            continue
+        for j in range(n):
+            if i == j:
+                continue
+            if int(rows[j][0]) in large and _contained_in(ri, rows[j]):
+                keep[i] = False
+                break
+    for category in small:
+        contained_by_other = [False] * n
+        contains_other = [False] * n
+        for i in range(n):
+            ri = rows[i]
+            if int(ri[0]) != category or int(ri[0]) in preserve_ids:
+                continue
+            for j in range(n):
+                if i == j:
+                    continue
+                if _contained_in(ri, rows[j]):
+                    contained_by_other[i] = True
+                    contains_other[j] = True
+        for i in range(n):
+            keep[i] = keep[i] and ((not contains_other[i])
+                                   or contained_by_other[i])
+    return [i for i in range(n) if keep[i]]
+
+
+def filter_oversized_images(rows: list[tuple], image_cls_id: int,
+                            page_w: float, page_h: float) -> list[int]:
+    n = len(rows)
+    if n <= 1:
+        return list(range(n))
+    thr = (OVERSIZE_AREA_THRESHOLD_LANDSCAPE if page_w > page_h
+           else OVERSIZE_AREA_THRESHOLD_PORTRAIT)
+    limit = thr * page_w * page_h
+    out = []
+    for i, r in enumerate(rows):
+        if int(r[0]) == image_cls_id:
+            x1 = r[2] if r[2] > 0 else 0.0
+            y1 = r[3] if r[3] > 0 else 0.0
+            x2 = r[4] if r[4] < page_w else page_w
+            y2 = r[5] if r[5] < page_h else page_h
+            if (x2 - x1) * (y2 - y1) <= limit:
+                out.append(i)
+        else:
+            out.append(i)
+    return out if out else list(range(n))
+
+
+def unclip(rows: list[tuple], ratio: tuple[float, float]) -> list[tuple]:
+    if ratio == (1.0, 1.0):
+        return rows
+    rw, rh = ratio
+    out = []
+    for r in rows:
+        w = r[4] - r[2]
+        h = r[5] - r[3]
+        cx = r[2] + w / 2
+        cy = r[3] + h / 2
+        nw = w * rw
+        nh = h * rh
+        out.append((r[0], r[1], cx - nw / 2, cy - nh / 2,
+                    cx + nw / 2, cy + nh / 2, r[6]))
+    return out
+
+
+def clamp_and_validate(rows: list[tuple], page_w: float,
+                       page_h: float) -> tuple[list[tuple], list[int]]:
+    """Clamp, drop degenerate, truncate to int — returns (surviving rows
+    with int coords, their original indices), order preserved."""
+    out = []
+    kept = []
+    for i, r in enumerate(rows):
+        x1 = min(max(r[2], 0.0), page_w)
+        x2 = min(max(r[4], 0.0), page_w)
+        y1 = min(max(r[3], 0.0), page_h)
+        y2 = min(max(r[5], 0.0), page_h)
+        if x1 >= x2 or y1 >= y2:
+            continue
+        out.append((r[0], r[1], float(int(x1)), float(int(y1)),
+                    float(int(x2)), float(int(y2)), r[6]))
+        kept.append(i)
+    return out, kept
+
+
+def xy_cut_order(rows: list[tuple]) -> list[int]:
+    """Same XY-cut spec as geometry.xy_cut_order, tuple-based."""
+    n = len(rows)
+    if n <= 1:
+        return list(range(n))
+    xs = [(min(r[2], r[4]), max(r[2], r[4])) for r in rows]
+    ys = [(min(r[3], r[5]), max(r[3], r[5])) for r in rows]
+
+    def gaps(sub: list[int], spans) -> list[float]:
+        order = sorted(sub, key=lambda k: spans[k][0])
+        cuts = []
+        cover = spans[order[0]][1]
+        for k in order[1:]:
+            lo, hi = spans[k]
+            if lo > cover:
+                cuts.append((cover + lo) / 2.0)
+            if hi > cover:
+                cover = hi
+        return cuts
+
+    def rec(sub: list[int], axis_first: int) -> list[int]:
+        if len(sub) <= 1:
+            return sub
+        for axis in (axis_first, 1 - axis_first):
+            spans = ys if axis == 0 else xs
+            cuts = gaps(sub, spans)
+            if cuts:
+                groups = []
+                prev = float("-inf")
+                for c in cuts + [float("inf")]:
+                    grp = [k for k in sub if prev < spans[k][0] <= c]
+                    if grp:
+                        groups.append(grp)
+                    prev = c
+                if len(groups) >= 2:
+                    out: list[int] = []
+                    for g in groups:
+                        out.extend(rec(g, 1 - axis))
+                    return out
+        return sorted(sub, key=lambda k: (ys[k][0], xs[k][0]))
+
+    return rec(list(range(n)), 0)

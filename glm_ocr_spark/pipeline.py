@@ -137,7 +137,8 @@ def _extract_batches(batches, passthrough=(), extractor=None):
 
 def extract_transcripts(df: DataFrame,
                         passthrough: tuple[str, ...] = (),
-                        mode: str = "layout") -> DataFrame:
+                        mode: str = "layout",
+                        config=None) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted.
 
     Narrow map: no shuffle, no collect. Column-prunes its own input so a
@@ -150,6 +151,9 @@ def extract_transcripts(df: DataFrame,
     if mode == "ocr_only":
         from glm_ocr_spark.kernel.extract import extract_turn_ocr_only
         extractor = extract_turn_ocr_only
+    elif config is not None:
+        import functools
+        extractor = functools.partial(extract_turn, config=config)
     else:
         extractor = None
     schema = T.StructType(EXTRACTED_SCHEMA.fields + [

@@ -42,6 +42,81 @@ class TestPluggability:
         assert extract_turn(PAYLOAD)["extracted_text"] == "hello world"
 
 
+class TestExtractConfig:
+    """Config-driven knobs (reference config.yaml:183-233 surface)."""
+
+    def _two_texts(self):
+        return (
+            '<block label="text" score="0.5" bbox="50,100,950,200" order="1">'
+            "low score</block>\n"
+            '<block label="text" score="0.97" bbox="50,300,950,400" order="2">'
+            "high score</block>"
+        )
+
+    def test_per_class_threshold_override(self):
+        from glm_ocr_spark.kernel.extract import ExtractConfig
+
+        cfg = ExtractConfig(score_threshold_by_class={22: 0.9})
+        r = extract_turn(self._two_texts(), config=cfg)
+        assert r["extracted_text"] == "high score"
+        # default keeps both (0.5 >= 0.3)
+        assert extract_turn(self._two_texts())["n_blocks"] == 2
+
+    def test_nms_disabled_keeps_duplicates(self):
+        from glm_ocr_spark.kernel.extract import ExtractConfig
+
+        dup = (
+            '<block label="text" score="0.9" bbox="50,100,950,200" order="1">'
+            "winner</block>\n"
+            '<block label="text" score="0.5" bbox="52,102,952,202" order="2">'
+            "duplicate</block>"
+        )
+        assert extract_turn(dup)["n_blocks"] == 1
+        cfg = ExtractConfig(nms_enabled=False,
+                            merge_modes={})  # containment would drop it too
+        assert extract_turn(dup, config=cfg)["n_blocks"] == 2
+
+    def test_union_merge_mode_keeps_contained(self):
+        from glm_ocr_spark.kernel.extract import ExtractConfig
+
+        nested = (
+            '<block label="text" score="0.9" bbox="50,100,950,500" order="1">'
+            "outer</block>\n"
+            '<block label="text" score="0.8" bbox="100,150,500,250" order="2">'
+            "inner</block>"
+        )
+        assert extract_turn(nested)["n_blocks"] == 1  # default 'large' drops
+        cfg = ExtractConfig(merge_modes={22: "union"})
+        assert extract_turn(nested, config=cfg)["n_blocks"] == 2
+
+    def test_unclip_expands_bbox(self):
+        import json as _json
+
+        from glm_ocr_spark.kernel.extract import ExtractConfig
+
+        payload = ('<block label="text" score="0.9" bbox="400,400,600,500" '
+                   'order="1">x</block>')
+        cfg = ExtractConfig(unclip_ratio=(2.0, 1.0))
+        r = extract_turn(payload, config=cfg)
+        bbox = _json.loads(r["json"])[0][0]["bbox_2d"]
+        assert bbox == [300, 400, 700, 500]
+
+    def test_config_through_spark(self, spark):
+        import datetime as dt
+
+        from glm_ocr_spark.kernel.extract import ExtractConfig
+        from glm_ocr_spark.pipeline import extract_transcripts
+
+        rows = [("c1", 0, "user", self._two_texts(), "",
+                 dt.datetime(2026, 1, 1))]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+        cfg = ExtractConfig(score_threshold_by_class={22: 0.9})
+        out = extract_transcripts(df, config=cfg).collect()
+        assert out[0]["extracted_text"] == "high score"
+
+
 class TestCanonicalize:
     def test_nfc_normalization(self):
         # e + combining acute -> precomposed é
