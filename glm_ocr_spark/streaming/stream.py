@@ -42,6 +42,51 @@ def extract_stream(transcripts: DataFrame) -> DataFrame:
     return extract_transcripts(transcripts)
 
 
+def stateful_conversation_tracker(transcripts: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) keyed by conv_id:
+    the direct analog of the reference's per-unit done-counting state
+    (_AsyncPipelineState.unit_done_counts + maybe_notify_ready_units,
+    pipeline.py:35-54, 389-428). Each micro-batch updates a persistent
+    (turns_done, blocks_total, max_turn_idx) triple per conversation and
+    emits the updated snapshot — O(1) state per key, like the reference's
+    counters."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    extracted = extract_transcripts(transcripts)
+
+    output_schema = ("conv_id string, turns_done long, blocks_total long, "
+                     "max_turn_idx int")
+    state_schema = "turns_done long, blocks_total long, max_turn_idx int"
+
+    def update(key, pdfs, state: GroupState):
+        turns, blocks, max_idx = (state.get if state.exists
+                                  else (0, 0, -1))
+        for pdf in pdfs:
+            turns += len(pdf)
+            blocks += int(pdf["n_blocks"].fillna(0).sum())
+            if len(pdf):
+                max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        state.update((turns, blocks, max_idx))
+        yield pd.DataFrame({
+            "conv_id": [key[0]],
+            "turns_done": [turns],
+            "blocks_total": [blocks],
+            "max_turn_idx": [max_idx],
+        })
+
+    return (
+        extracted.groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def conversation_progress_stream(transcripts: DataFrame,
                                  watermark: str = "10 minutes",
                                  window: str = "1 hour") -> DataFrame:

@@ -3,6 +3,7 @@ result (same transformation, availableNow trigger), and the watermark rollup
 must aggregate per conversation."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from glm_ocr_spark.data.gen import transcripts_df
 from glm_ocr_spark.streaming import (
@@ -47,6 +48,41 @@ def test_stream_extraction_equals_batch(spark, transcripts_path, tmp_path):
     )
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_stateful_tracker(spark, transcripts_path, tmp_path):
+    """applyInPandasWithState per-conversation counters must converge to the
+    batch ground truth across micro-batches."""
+    from glm_ocr_spark.streaming import stateful_conversation_tracker
+
+    stream = read_transcripts_stream(spark, transcripts_path,
+                                     max_files_per_trigger=3)
+    ckpt = str(tmp_path / "ckpt_state")
+    q = (
+        stateful_conversation_tracker(stream).writeStream
+        .format("memory")
+        .queryName("tracker")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # last update per conversation = final state
+    rows = spark.sql("""
+        SELECT conv_id, max(turns_done) AS turns_done,
+               max(max_turn_idx) AS max_turn_idx
+        FROM tracker GROUP BY conv_id
+    """).collect()
+    got = {r["conv_id"]: (r["turns_done"], r["max_turn_idx"]) for r in rows}
+    truth = {
+        r["conv_id"]: (r["n"], r["m"])
+        for r in spark.read.parquet(transcripts_path)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("m"))
+        .collect()
+    }
+    assert got == truth
 
 
 def test_progress_rollup(spark, transcripts_path, tmp_path):
