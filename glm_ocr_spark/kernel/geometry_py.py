@@ -82,15 +82,31 @@ def apply_merge_modes(rows: list[tuple], merge_modes: dict[int, str],
     large = {c for c, m in merge_modes.items() if m == "large"}
     small = [c for c, m in merge_modes.items() if m == "small"]
     keep = [True] * n
+    large_js = [j for j in range(n) if int(rows[j][0]) in large]
+    ratio = CONTAINMENT_OVERLAP_RATIO
     # 'large' pass: drop i if contained in any box whose class is large-mode
+    # (containment math inlined — this is the O(n^2) hot loop)
     for i in range(n):
         ri = rows[i]
         if int(ri[0]) in preserve_ids:
             continue
-        for j in range(n):
+        ax1, ay1, ax2, ay2 = ri[2], ri[3], ri[4], ri[5]
+        area = (ax2 - ax1) * (ay2 - ay1)
+        if area <= 0:
+            continue
+        for j in large_js:
             if i == j:
                 continue
-            if int(rows[j][0]) in large and _contained_in(ri, rows[j]):
+            rj = rows[j]
+            iw = (ax2 if ax2 < rj[4] else rj[4]) - (ax1 if ax1 > rj[2] else rj[2])
+            if iw <= 0:
+                continue
+            ih = (ay2 if ay2 < rj[5] else rj[5]) - (ay1 if ay1 > rj[3] else rj[3])
+            if ih <= 0:
+                continue
+            # same division form as _contained_in / the numpy path: the
+            # rearranged iw*ih >= area*ratio differs in the last ulp
+            if (iw * ih) / area >= ratio:
                 keep[i] = False
                 break
     for category in small:

@@ -32,13 +32,17 @@ _ENTITIES = (
 
 
 def unescape(text: str) -> str:
+    if "&" not in text:
+        return text
     for ent, ch in _ENTITIES:
         text = text.replace(ent, ch)
     return text
 
 
 def strip_markup(fragment: str) -> str:
-    return unescape(_TAG_RE.sub("", fragment))
+    if "<" in fragment:
+        fragment = _TAG_RE.sub("", fragment)
+    return unescape(fragment)
 
 
 def table_to_markdown(fragment: str) -> str:

@@ -27,7 +27,7 @@ from dataclasses import dataclass
 from glm_ocr_spark.config import LABEL2ID, PAGE_HEIGHT, PAGE_WIDTH
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     cls_id: int
     label: str

@@ -100,12 +100,21 @@ def clean_content(content: str | None) -> str:
     long-content repeat removal, strip."""
     if content is None:
         return ""
-    content = _LEADING_TAB_RE.sub("", content).lstrip()
-    content = _TRAILING_TAB_RE.sub("", content).rstrip()
-    content = _DOT_RUN_RE.sub(r"\1\1\1", content)
-    content = _MIDDOT_RUN_RE.sub(r"\1\1\1", content)
-    content = _UNDERSCORE_RUN_RE.sub(r"\1\1\1", content)
-    content = _ESC_UNDERSCORE_RUN_RE.sub(r"\1\1\1", content)
+    # cheap substring guards: each pattern can only match if its literal
+    # trigger is present; identical output, far fewer regex passes
+    if "\\t" in content:
+        content = _LEADING_TAB_RE.sub("", content).lstrip()
+        content = _TRAILING_TAB_RE.sub("", content).rstrip()
+    else:
+        content = content.strip()
+    if "..." in content:
+        content = _DOT_RUN_RE.sub(r"\1\1\1", content)
+    if "···" in content:
+        content = _MIDDOT_RUN_RE.sub(r"\1\1\1", content)
+    if "___" in content:
+        content = _UNDERSCORE_RUN_RE.sub(r"\1\1\1", content)
+    if "\\_\\_\\_" in content:
+        content = _ESC_UNDERSCORE_RUN_RE.sub(r"\1\1\1", content)
     if len(content) >= 2048:
         content = clean_repeated_content(content)
     return content.strip()
@@ -157,6 +166,7 @@ def format_content(content: object, label: str, native_label: str) -> str | None
             sep = ")" if sep == "）" else sep
             content = f"{symbol}{sep} {rest.lstrip()}"
 
-        content = _SINGLE_NEWLINE_RE.sub("\n\n", content)
+        if "\n" in content:
+            content = _SINGLE_NEWLINE_RE.sub("\n\n", content)
 
     return content
