@@ -234,6 +234,22 @@ def q_asof_view_before_purchase(spark, sf_dir):
     )
 
 
+def q_range_join_views_before_purchase(spark, sf_dir):
+    """Range join: every view within 10 minutes before each purchase
+    (operators/asof.py::range_join, bucketized interval join)."""
+    from glm_ocr_spark.operators.asof import range_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"))
+    out = range_join(purchases, views, on="ts", by="user_id",
+                     window_seconds=600, value_cols=["view_id"])
+    return out.select("user_id", "purchase_id",
+                      F.col("view_id_right").alias("view_id"))
+
+
 def q_semi_join_active_customers(spark, sf_dir):
     """Left-semi join: customers having at least one order."""
     cust = _table(spark, sf_dir, "customer")
@@ -351,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": q_emb_neardup,
         "mm_media_meta": q_mm_media_meta,
         "asof_view_before_purchase": q_asof_view_before_purchase,
+        "range_join_views_before_purchase": q_range_join_views_before_purchase,
         "semi_join_active_customers": q_semi_join_active_customers,
         "anti_join_inactive_parts": q_anti_join_inactive_parts,
         "q6_revenue": q_q6_revenue,
@@ -573,6 +590,15 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p
             ASOF LEFT JOIN views v
               ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "range_join_views_before_purchase": """
+            SELECT p.user_id, p.event_id AS purchase_id,
+                   v.event_id AS view_id
+            FROM events p JOIN events v
+              ON p.user_id = v.user_id
+             AND p.event_type = 'purchase' AND v.event_type = 'view'
+             AND epoch(v.ts) > epoch(p.ts) - 600
+             AND epoch(v.ts) <= epoch(p.ts)
         """,
         "semi_join_active_customers": """
             SELECT c_custkey, c_mktsegment FROM customer

@@ -19,6 +19,50 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(left: DataFrame, right: DataFrame, on: str, by: str,
+               window_seconds: int,
+               value_cols: list[str] | None = None,
+               suffix: str = "_right") -> DataFrame:
+    """Interval join: pair each left row with every right row (same `by`)
+    whose `on` lies in (left.on - window, left.on], via time-bucketing.
+
+    A naive inequality join is a per-key cross product; bucketing each side
+    to floor(epoch/window) and equi-joining on (by, bucket) with the left
+    probing its own and the previous bucket caps candidates at two buckets
+    per row — shuffle stays O(rows), the exact predicate filters after the
+    equality join. Spark's own optimizer cannot do this rewrite; DuckDB's
+    IEJoin is the single-node analog (the oracle uses the plain inequality
+    form at test scale).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, by)]
+    l_epoch = F.unix_timestamp(F.col(on).cast("timestamp"))
+    bucket = F.floor(l_epoch / window_seconds)
+
+    lhs = left.withColumn("_bucket", bucket)
+    probe = lhs.select(
+        *left.columns,
+        F.explode(F.array(F.col("_bucket"),
+                          F.col("_bucket") - 1)).alias("_jb"),
+    )
+    rhs = right.select(
+        F.col(by).alias("_rby"),
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    ).withColumn(
+        "_jb",
+        F.floor(F.unix_timestamp(F.col(f"{on}{suffix}").cast("timestamp"))
+                / window_seconds),
+    )
+    r_epoch = F.unix_timestamp(F.col(f"{on}{suffix}").cast("timestamp"))
+    joined = probe.join(
+        rhs, (probe["_jb"] == rhs["_jb"]) & (probe[by] == rhs["_rby"])
+    ).filter(
+        (r_epoch > l_epoch - window_seconds) & (r_epoch <= l_epoch)
+    )
+    return joined.drop("_jb", "_rby", "_bucket")
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
               value_cols: list[str] | None = None,
               suffix: str = "_right") -> DataFrame:
