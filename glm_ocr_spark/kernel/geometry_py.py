@@ -38,7 +38,12 @@ def iou(a, b) -> float:
         inter = iw * ih
     a1 = (a[4] - a[2] + 1) * (a[5] - a[3] + 1)
     a2 = (b[4] - b[2] + 1) * (b[5] - b[3] + 1)
-    return inter / (a1 + a2 - inter)
+    den = a1 + a2 - inter
+    if den == 0:
+        # zero-area pair under the +1 convention: the vectorized path yields
+        # NaN here (0/0), and NaN < thr is False -> suppressed; match that
+        return float("nan")
+    return inter / den
 
 
 def nms(rows: list[tuple], iou_same: float = NMS_IOU_SAME,

@@ -190,7 +190,10 @@ def _iou(b1, b2):
     inter = max(0, xi2 - xi1 + 1) * max(0, yi2 - yi1 + 1)
     a1 = (x2 - x1 + 1) * (y2 - y1 + 1)
     a2 = (x2p - x1p + 1) * (y2p - y1p + 1)
-    return inter / float(a1 + a2 - inter)
+    den = float(a1 + a2 - inter)
+    if den == 0:
+        return float("nan")  # zero-area pair: NaN -> not < thr -> suppressed
+    return inter / den
 
 
 def _nms(blocks, iou_same=0.6, iou_diff=0.98):

@@ -82,6 +82,18 @@ def test_fuzz_equality(p):
         assert k[f] == o[f], (f, p[:200])
 
 
+def test_zero_area_boxes_regression():
+    # found by deep fuzzing: zero-area boxes under the +1 IoU convention
+    # divided by zero in the scalar paths (vectorized path yields NaN ->
+    # suppressed); both paths now agree
+    p = ('<block label="abstract" score="garbage" bbox="0,0,0,-1"></block>\n'
+         '<block label="abstract" score="garbage" bbox="0,0,0,-1"></block>')
+    k = extract_turn(p)
+    o = oracle_extract_turn(p, "")
+    for f in FIELDS:
+        assert k[f] == o[f]
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.text(max_size=200))
 def test_fuzz_arbitrary_text_never_raises(p):
