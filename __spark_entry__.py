@@ -163,9 +163,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    # threshold 0.5: banded LSH (k=32, 16 bands of r=2) has recall ~1 there
+    # (miss prob (1-j^2)^16), and the exact-Jaccard verify stage makes the
+    # output equal to the true >= 0.5 pair set — SQL-oracle-checkable.
     from glm_ocr_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.05)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -192,6 +195,15 @@ def q_ann_lsh_topk(spark, sf_dir):
 
     emb = _table(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    # approximate by construction (no SQL oracle); the bench reports
+    # recall@10 vs ann_cosine_topk — ~0.9 at nprobe/n_cells = 0.25
+    from glm_ocr_spark.operators.similarity import ivf_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_id=0)
 
 
 def q_emb_neardup(spark, sf_dir):
@@ -364,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup": q_emb_neardup,
         "mm_media_meta": q_mm_media_meta,
         "asof_view_before_purchase": q_asof_view_before_purchase,
@@ -412,7 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_rollup": """
             SELECT source,
                    count(*) AS n_turns,
-                   sum(CASE WHEN trim(text) != '' THEN 1 ELSE 0 END)
+                   sum(CASE WHEN trim(text) != '' THEN 1 ELSE 0 END)::BIGINT
                      AS n_blocks_total,
                    string_agg(trim(text), chr(10) || chr(10)
                               ORDER BY doc_id) AS conversation_markdown
@@ -559,6 +572,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE n_common / (s1.n_sh + s2.n_sh - n_common) >= 0.05
         """,
+        # minhash LSH output == true >= 0.5 Jaccard pair set (exact-Jaccard
+        # verify stage; banded-candidate recall ~1 at these parameters), so
+        # the exact-Jaccard relation is a full-value oracle for it.
+        "dedup_minhash_lsh": f"""
+            WITH words AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle
+              FROM words, unnest(
+                CASE WHEN len(ws) >= 3
+                     THEN list_distinct(list_transform(
+                            generate_series(1, len(ws) - 2),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     ELSE [array_to_string(ws, ' ')] END) AS t(shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id1, id2,
+                   round(n_common / (s1.n_sh + s2.n_sh - n_common), 6)
+                     AS jaccard
+            FROM pairs
+            JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+            WHERE n_common / (s1.n_sh + s2.n_sh - n_common) >= 0.5
+        """,
+        # brute-force all-pairs cosine: ground truth for the LSH+verify path
+        # (recall ~1 at the shipped band parameters; exact verify -> equality)
+        "emb_neardup": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_dot_product(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                                  a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                    b.embedding::DOUBLE[]))),
+                         6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                           a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]))) >= 0.5
+        """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0)
@@ -677,9 +736,10 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS is_start
               FROM events)
             SELECT user_id, event_id,
-                   sum(is_start) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
+                   (sum(is_start) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING))::BIGINT
+                     AS session_id
             FROM f
         """,
         "events_hourly_rollup": """

