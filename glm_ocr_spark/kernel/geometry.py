@@ -161,17 +161,37 @@ def filter_oversized_images(boxes: np.ndarray, image_cls_id: int,
     return idx.astype(np.int64)
 
 
-def unclip(boxes: np.ndarray, ratio: tuple[float, float]) -> np.ndarray:
-    """Expand boxes about their centers (layout_postprocess_utils.py:158-176)."""
-    if ratio == (1.0, 1.0):
+def unclip(boxes: np.ndarray,
+           ratio: tuple[float, float] | dict[int, tuple[float, float]] | None,
+           ) -> np.ndarray:
+    """Expand boxes about their centers (layout_postprocess_utils.py:116-176).
+
+    `ratio` forms mirror the reference `unclip_boxes`:
+      - None or (1.0, 1.0): no-op;
+      - (w_ratio, h_ratio): applied to every box (:160-176);
+      - {cls_id: (w_ratio, h_ratio)}: applied only to boxes of the listed
+        classes, others pass through untouched (:131-157).
+    """
+    if ratio is None or ratio == (1.0, 1.0):
         return boxes
     out = boxes.copy()
     w = boxes[:, X2] - boxes[:, X1]
     h = boxes[:, Y2] - boxes[:, Y1]
     cx = boxes[:, X1] + w / 2
     cy = boxes[:, Y1] + h / 2
-    nw = w * ratio[0]
-    nh = h * ratio[1]
+    if isinstance(ratio, dict):
+        cls = boxes[:, CLS].astype(np.int64)
+        rw = np.ones(len(boxes))
+        rh = np.ones(len(boxes))
+        for cid, (wr, hr) in ratio.items():
+            m = cls == cid
+            rw[m] = wr
+            rh[m] = hr
+        nw = w * rw
+        nh = h * rh
+    else:
+        nw = w * ratio[0]
+        nh = h * ratio[1]
     out[:, X1] = cx - nw / 2
     out[:, Y1] = cy - nh / 2
     out[:, X2] = cx + nw / 2

@@ -155,12 +155,21 @@ def filter_oversized_images(rows: list[tuple], image_cls_id: int,
     return out if out else list(range(n))
 
 
-def unclip(rows: list[tuple], ratio: tuple[float, float]) -> list[tuple]:
-    if ratio == (1.0, 1.0):
+def unclip(rows: list[tuple], ratio) -> list[tuple]:
+    """ratio: None | (w,h) | {cls_id: (w,h)} — see geometry.unclip."""
+    if ratio is None or ratio == (1.0, 1.0):
         return rows
-    rw, rh = ratio
+    per_class = isinstance(ratio, dict)
     out = []
     for r in rows:
+        if per_class:
+            pair = ratio.get(int(r[0]))
+            if pair is None:
+                out.append(r)
+                continue
+            rw, rh = pair
+        else:
+            rw, rh = ratio
         w = r[4] - r[2]
         h = r[5] - r[3]
         cx = r[2] + w / 2

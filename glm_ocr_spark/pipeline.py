@@ -187,25 +187,57 @@ def ocr_only_conversation_markdown(extracted: DataFrame) -> DataFrame:
     )
 
 
-def conversation_rollup(extracted: DataFrame) -> DataFrame:
+def conversation_rollup(extracted: DataFrame,
+                        salt_block: int = 4096) -> DataFrame:
     """Unit-level assembly (J7/A2/A5 of SURVEY.md §2): turns -> one row per
     conversation with ordered markdown joined '\\n\\n' (the reference joins a
     unit's pages the same way, result_formatter.py:206-210; server merge
     server.py:113-117) plus block/turn counts.
 
-    Single shuffle on conv_id with map-side partial aggregation; the payload
-    columns are long gone by this point, so shuffle volume is output-sized.
+    Salted two-level aggregate (SCALE.md skew plan, implemented round 2):
+    level 1 concatenates per (conv_id, turn_idx // salt_block) — a
+    pathological 10^6-turn conversation is split across ~10^6/salt_block
+    reducers instead of building its whole array on one task — and level 2
+    merges the ordered block partials per conv_id. Turn order is preserved:
+    blocks are disjoint turn_idx ranges, sorted by block id at level 2 and
+    by turn_idx inside each block at level 1. Payload columns are long gone
+    by this point, so both shuffles are output-sized.
     """
-    return (
-        extracted.groupBy("conv_id")
+    blk = (F.col("turn_idx") / F.lit(salt_block)).cast("long")
+    # null markdown (skip-task turns) must vanish without leaving a
+    # delimiter, exactly like array_join's null-skipping in a single-level
+    # concat: collect only non-null turns per block, and only non-empty
+    # blocks (n_md > 0) per conversation.
+    partial = (
+        extracted.groupBy("conv_id", blk.alias("blk"))
         .agg(
             F.count("*").alias("n_turns"),
             F.sum("n_blocks").alias("n_blocks_total"),
+            F.count("markdown").alias("n_md"),
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("turn_idx", "markdown"))),
+                        F.collect_list(
+                            F.when(F.col("markdown").isNotNull(),
+                                   F.struct("turn_idx", "markdown")))),
                     lambda s: s["markdown"],
+                ),
+                "\n\n",
+            ).alias("md"),
+        )
+    )
+    return (
+        partial.groupBy("conv_id")
+        .agg(
+            F.sum("n_turns").alias("n_turns"),
+            F.sum("n_blocks_total").alias("n_blocks_total"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("n_md") > 0,
+                                   F.struct("blk", "md")))),
+                    lambda s: s["md"],
                 ),
                 "\n\n",
             ).alias("conversation_markdown"),

@@ -82,16 +82,27 @@ def run_with_checkpoint(
     n_buckets: int = 16,
     input_snapshot: str = "v1",
     fail_after_buckets: int | None = None,
+    buckets_per_job: int | None = None,
 ) -> dict:
     """Extract with per-bucket checkpointing; resumable after a kill.
 
-    `fail_after_buckets` injects a crash after N buckets (for resume tests —
-    the driver-side analog of kill -9). Returns run metrics.
+    All pending buckets are processed in ONE Spark job: a single input scan
+    filtered to the pending bucket set, written `partitionBy("bucket")` with
+    dynamic partition overwrite, then one state-watermark append per bucket.
+    (Round 1 looped buckets driver-side, re-scanning the unpartitioned input
+    once per bucket — ~n_buckets x read amplification at 100 TB — and
+    re-read its own sink just to count rows.) Per-bucket row counts now come
+    from the written parquet footers (metadata-only, no data re-scan) and
+    byte counts from file sizes.
 
-    Each bucket is one narrow Spark job (filter by bucket -> extract ->
-    dynamic-overwrite its output partition) followed by an atomic state
-    append; data commit strictly precedes the watermark commit, so a crash
-    between them re-does the bucket idempotently (never skips it).
+    Data commit strictly precedes the watermark commits, so a crash between
+    them re-does affected buckets idempotently (dynamic overwrite) — never
+    skips one. `buckets_per_job` bounds how many buckets one job covers
+    (finer-grained watermarks at the cost of extra input scans); the default
+    is all pending buckets in one job, one scan. `fail_after_buckets`
+    injects a crash after N buckets (resume tests — the kill -9 analog) and
+    forces bucket-at-a-time jobs so the crash lands mid-processing.
+    Returns run metrics, including `input_scans` (== number of jobs run).
     """
     from glm_ocr_spark.pipeline import extract_transcripts
 
@@ -100,36 +111,53 @@ def run_with_checkpoint(
     done = read_completed_buckets(spark, state_path, input_snapshot)
     pending = [b for b in range(n_buckets) if b not in done]
 
+    chunk = buckets_per_job or len(pending) or 1
+    if fail_after_buckets is not None:
+        chunk = 1
     src = transcripts.withColumn("bucket", bucket_col(n_buckets))
     processed = 0
+    input_scans = 0
     t0 = time.time()
-    for b in pending:
-        part = src.filter(F.col("bucket") == b).drop("bucket")
-        out = extract_transcripts(part).withColumn("bucket", F.lit(b))
+    for i in range(0, len(pending), chunk):
+        batch = pending[i:i + chunk]
+        part = src.filter(F.col("bucket").isin(batch))
+        out = extract_transcripts(part, passthrough=("bucket",))
         out.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+        input_scans += 1
 
-        written = spark.read.parquet(output_path).filter(F.col("bucket") == b)
-        rows_out = written.count()
-        bytes_out = _dir_bytes(os.path.join(output_path, f"bucket={b}"))
-        append_state(spark, state_path, b, rows_out, bytes_out, input_snapshot)
-
-        processed += 1
-        if fail_after_buckets is not None and processed >= fail_after_buckets:
-            raise RuntimeError(f"injected failure after {processed} buckets")
+        for b in batch:
+            rows_out, bytes_out = _partition_stats(output_path, b)
+            append_state(spark, state_path, b, rows_out, bytes_out,
+                         input_snapshot)
+            processed += 1
+            if (fail_after_buckets is not None
+                    and processed >= fail_after_buckets):
+                raise RuntimeError(
+                    f"injected failure after {processed} buckets")
 
     return {
         "resumed_buckets": len(done),
         "processed_buckets": processed,
+        "input_scans": input_scans,
         "elapsed_sec": time.time() - t0,
     }
 
 
-def _dir_bytes(path: str) -> int:
+def _partition_stats(output_path: str, bucket: int) -> tuple[int, int]:
+    """(rows, bytes) for one written bucket partition — rows from parquet
+    footers (metadata pages only), bytes from file sizes; no data re-scan."""
+    import pyarrow.parquet as pq
+
+    part_dir = os.path.join(output_path, f"bucket={bucket}")
+    rows = 0
     total = 0
-    for root, _dirs, files in os.walk(path):
+    for root, _dirs, files in os.walk(part_dir):
         for f in files:
+            p = os.path.join(root, f)
+            if f.endswith(".parquet"):
+                rows += pq.ParquetFile(p).metadata.num_rows
             try:
-                total += os.path.getsize(os.path.join(root, f))
+                total += os.path.getsize(p)
             except OSError:
                 pass
-    return total
+    return rows, total

@@ -101,6 +101,30 @@ class TestExtractConfig:
         bbox = _json.loads(r["json"])[0][0]["bbox_2d"]
         assert bbox == [300, 400, 700, 500]
 
+    def test_unclip_per_class_dict_end_to_end(self):
+        """Per-class dict form (reference unclip_boxes dict path,
+        layout_postprocess_utils.py:116-157): only the listed class
+        expands; the other label keeps its bbox."""
+        import json as _json
+
+        from glm_ocr_spark.kernel.extract import ExtractConfig
+
+        payload = (
+            '<block label="text" score="0.9" bbox="400,400,600,500" '
+            'order="1">x</block>\n'
+            '<block label="doc_title" score="0.9" bbox="100,100,200,150" '
+            'order="2">t</block>'
+        )
+        # text=22: widen 2x; doc_title untouched
+        cfg = ExtractConfig(unclip_ratio={22: (2.0, 1.0)})
+        r = extract_turn(payload, config=cfg)
+        blocks = _json.loads(r["json"])[0]
+        # doc_title is re-labelled "text" downstream (T8 _map_label), so key
+        # by content: "x" is the text block, "# t" the formatted title.
+        by_content = {b["content"]: b["bbox_2d"] for b in blocks}
+        assert by_content["x"] == [300, 400, 700, 500]
+        assert by_content["# t"] == [100, 100, 200, 150]
+
     def test_config_through_spark(self, spark):
         import datetime as dt
 

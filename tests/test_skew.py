@@ -35,6 +35,50 @@ def test_salted_repartition_spreads_hot_conversation(spark):
     assert out.filter("extracted_text LIKE 'turn %'").count() == 2000
 
 
+def test_salted_rollup_on_100k_turn_conversation(spark):
+    """A ~10^5-turn conversation must roll up correctly through the
+    two-level salted aggregate (round 1's single collect_list per conv_id
+    would build the whole 10^5-element array on one reducer). Includes
+    null-markdown (skip-task) turns, which must vanish without leaving a
+    stray delimiter, exactly like single-level array_join null-skipping."""
+    from glm_ocr_spark.pipeline import conversation_rollup
+
+    n = 100_000
+    turns = spark.range(n).select(
+        F.lit("big").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        # every 7th turn is a skip-task turn: markdown NULL
+        F.when(F.col("id") % 7 == 0, F.lit(None))
+         .otherwise(F.concat(F.lit("t"), F.col("id"))).alias("markdown"),
+        F.lit(1).alias("n_blocks"),
+    )
+    out = conversation_rollup(turns, salt_block=1024).head()
+    assert out["n_turns"] == n
+    assert out["n_blocks_total"] == n
+    expected = "\n\n".join(f"t{i}" for i in range(n) if i % 7 != 0)
+    assert out["conversation_markdown"] == expected
+
+
+def test_salted_rollup_matches_single_level_on_null_edge(spark):
+    """Tiny adversarial cases: blocks made entirely of null markdown, empty
+    strings vs nulls, block boundaries."""
+    from glm_ocr_spark.pipeline import conversation_rollup
+
+    rows = [
+        ("c", 0, "a", 1), ("c", 1, None, 0), ("c", 2, "b", 1),
+        ("c", 3, None, 0), ("c", 4, None, 0),  # block of only nulls (blk=1 @2)
+        ("c", 5, "", 1),                        # empty string is kept
+        ("d", 0, None, 0), ("d", 1, None, 0),   # all-null conversation
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, markdown string, n_blocks int")
+    got = {r["conv_id"]: r for r in
+           conversation_rollup(df, salt_block=2).collect()}
+    assert got["c"]["conversation_markdown"] == "a\n\nb\n\n"
+    assert got["c"]["n_turns"] == 6
+    assert got["d"]["conversation_markdown"] == ""
+
+
 def test_generated_corpus_has_heavy_conversations(spark):
     df = transcripts_df(spark, 0.001)
     counts = df.groupBy("conv_id").count()

@@ -72,6 +72,27 @@ def test_state_metrics_recorded(spark, small_transcripts, tmp_path):
     assert all(r["completed_at"] is not None for r in rows)
 
 
+def test_single_input_scan_for_all_pending(spark, small_transcripts, tmp_path):
+    """Round-1 regression: the bucket loop re-scanned the unpartitioned
+    input once per bucket (~n_buckets x read amplification at scale). All
+    pending buckets must now go through ONE job / ONE input scan."""
+    out = str(tmp_path / "out")
+    st = str(tmp_path / "state")
+    m = run_with_checkpoint(spark, small_transcripts, out, st,
+                            n_buckets=N_BUCKETS)
+    assert m["processed_buckets"] == N_BUCKETS
+    assert m["input_scans"] == 1
+
+
+def test_buckets_per_job_bounds_scans(spark, small_transcripts, tmp_path):
+    out = str(tmp_path / "out")
+    st = str(tmp_path / "state")
+    m = run_with_checkpoint(spark, small_transcripts, out, st,
+                            n_buckets=N_BUCKETS, buckets_per_job=4)
+    assert m["processed_buckets"] == N_BUCKETS
+    assert m["input_scans"] == 2
+
+
 def test_rerun_completed_is_noop(spark, small_transcripts, tmp_path):
     out = str(tmp_path / "out")
     st = str(tmp_path / "state")
