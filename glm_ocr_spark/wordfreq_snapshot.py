@@ -5,21 +5,30 @@ The reference validates hyphenation merges with
 (/root/reference/glmocr/postprocess/result_formatter.py:367-368).
 
 `wordfreq` is not available in this environment and its data drifts between
-releases, so we ship a frozen snapshot (SURVEY.md §7.3.6): a small table of
-common English words with zipf-scale frequencies. Words absent from the table
+releases, so we ship a frozen snapshot (SURVEY.md §7.3.6):
+``wordfreq_snapshot_data.txt`` — ~22k English words with zipf-scale
+frequencies, derived from public English prose (CPython/numpy/pandas/
+pyspark documentation text, ~13.5M word tokens) overlaid with a
+hand-curated everyday-vocabulary core; see tools/build_wordfreq_snapshot.py
+for the provenance and the reproducible build. Words absent from the table
 score 0.0 (below every threshold), i.e. their hyphen merges are rejected —
 the same failure mode as an out-of-vocabulary word in wordfreq.
 
-This module is pure data + a lookup; it is shared by the Spark kernel and the
-single-node oracle so both sides agree byte-for-byte (it is an input, not
-logic under test).
+The v1 hand-picked table is kept as an overlay (max wins) so no previously
+accepted word can lose membership.
+
+This module is pure data + a lookup; it is shared by the Spark kernel and
+the single-node oracle so both sides agree byte-for-byte (it is an input,
+not logic under test).
 """
 
 from __future__ import annotations
 
-# zipf ~ log10(frequency per billion words); >= 2.5 means ">= ~0.3 per million"
-_ZIPF: dict[str, float] = {
-    # very common words / merge targets used throughout the corpus
+import os
+
+# v1 overlay — zipf ~ log10(frequency per billion words); >= 2.5 means
+# ">= ~0.3 per million"
+_ZIPF_V1: dict[str, float] = {
     "example": 5.3, "examples": 4.9, "information": 5.5, "process": 5.2,
     "processing": 4.8, "document": 4.9, "documents": 4.7, "extraction": 3.9,
     "computer": 5.0, "computation": 3.8, "understanding": 4.7, "important": 5.3,
@@ -64,7 +73,34 @@ _ZIPF: dict[str, float] = {
     "compression": 3.3, "hypothesis": 3.8, "hyphenation": 1.9,
 }
 
+_DATA_PATH = os.path.join(os.path.dirname(__file__),
+                          "wordfreq_snapshot_data.txt")
+
+_ZIPF: dict[str, float] | None = None
+
+
+def _load() -> dict[str, float]:
+    global _ZIPF
+    if _ZIPF is None:
+        table = dict(_ZIPF_V1)
+        try:
+            # ship the data file with the package (zip -r includes it for
+            # --py-files); if a deployment strips non-.py resources we fall
+            # back to the v1 overlay rather than failing the executor
+            with open(_DATA_PATH, encoding="utf-8") as f:
+                for line in f:
+                    if line.startswith("#"):
+                        continue
+                    w, z = line.split()
+                    zf = float(z)
+                    if table.get(w, 0.0) < zf:
+                        table[w] = zf
+        except OSError:
+            pass
+        _ZIPF = table
+    return _ZIPF
+
 
 def zipf_frequency(word: str, lang: str = "en") -> float:
     """Frozen-snapshot analog of wordfreq.zipf_frequency (lowercased lookup)."""
-    return _ZIPF.get(word.lower(), 0.0)
+    return _load().get(word.lower(), 0.0)
