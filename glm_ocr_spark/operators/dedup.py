@@ -42,6 +42,13 @@ def shingles_col(n: int = 3):
     0-based Spark `transform` over a sequence; the DuckDB oracle mirrors it
     1-based. Documents with < n words produce a single whole-text shingle so
     short docs still participate.
+
+    Perf note: Spark does not common-subexpression-eliminate inside lambda
+    bodies, so this expression re-evaluates the regex+split per array
+    element (~3n evaluations per doc). Fine when it feeds an explode that
+    dominates anyway (ngram_jaccard_pairs); for per-doc kernels use the
+    Python `shingles_py` inside a pandas UDF instead (one regex pass/doc,
+    ~50x here).
     """
     words = F.split(norm_text_col(), " ")
     ngrams = F.transform(
@@ -53,6 +60,37 @@ def shingles_col(n: int = 3):
     return F.when(F.size(words) >= n, F.array_distinct(ngrams)).otherwise(
         F.array(norm_text_col())
     )
+
+
+_WS_RE = None
+
+
+def shingles_py(text: str, n: int = 3) -> list[str]:
+    """Python mirror of `shingles_col` (byte-equal on the corpus — tested):
+    trim, collapse ASCII whitespace, lower, word n-grams, first-occurrence
+    distinct; < n words -> single whole-text shingle."""
+    global _WS_RE
+    if _WS_RE is None:
+        import re
+
+        # Java \s is ASCII-only; match it (re.ASCII)
+        _WS_RE = re.compile(r"\s+", re.ASCII)
+    norm = _WS_RE.sub(" ", text.strip()).lower() if text else ""
+    words = norm.split(" ") if norm else [""]
+    if len(words) < n:
+        return [norm]
+    seen = dict.fromkeys(
+        " ".join(words[i:i + n]) for i in range(len(words) - n + 1))
+    return list(seen)
+
+
+def shingles_udf(n: int = 3):
+    """pandas UDF: text -> shingle array, one regex pass per doc."""
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _sh(text: pd.Series) -> pd.Series:
+        return pd.Series([shingles_py(t, n) for t in text])
+
+    return _sh
 
 
 # ----------------------------------------------------------------- exact
@@ -134,32 +172,57 @@ def _hash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
     return params
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3,
-                       k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, sig array<bigint>[k]): min over shingles of affine hashes of
-    xxhash64(shingle).
+def _minhash_sig_udf(n: int = 3, k: int = MINHASH_K):
+    """pandas UDF: text -> minhash signature (array<bigint>[k]).
 
-    Entirely map-side: base hashes come from one `transform` over the
-    in-row shingle array and each signature component is an `array_min`
-    over arithmetic on that array — zero shuffle, zero UDF. (Round 1
-    exploded shingles and re-grouped by doc_id, shuffling the whole
-    shingle stream; at 100 TB that was corpus-sized. Signatures are a
-    per-doc pure function — nothing needs to move.)
+    Shingling happens in Python (`shingles_py`, one regex pass per doc);
+    then one numpy broadcast per doc: base = hash(shingle) % M,
+    min((base x A + B) % M) column-wise over the k-member affine family.
+    Token hash = two crc32 variants -> 64 bits (same family as simhash64;
+    any uniform deterministic hash works — correctness is enforced by the
+    exact-Jaccard verify stage, not by signature values).
     """
     params = _hash_params(k)
-    base = docs.select(
-        "doc_id",
-        F.transform(
-            shingles_col(n), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
-        ).alias("base"),
-    )
-    sig = F.array(*[
-        F.array_min(
-            F.transform("base", lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE)
-        )
-        for (a, b) in params
-    ])
-    return base.select("doc_id", sig.alias("sig"))
+    av = np.array([a for a, _ in params], dtype=np.uint64)
+    bv = np.array([b for _, b in params], dtype=np.uint64)
+    m = np.uint64(_MERSENNE)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(text: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in text:
+            shingles = shingles_py(t, n)
+            hs = np.fromiter(
+                ((zlib.crc32(w) << 32) | zlib.crc32(w[::-1] + b"#")
+                 for w in (s.encode("utf-8") for s in shingles)),
+                dtype=np.uint64, count=len(shingles))
+            base = hs % m
+            mins = ((base[:, None] * av + bv) % m).min(axis=0)
+            out.append(mins.astype(np.int64))
+        return pd.Series(out)
+
+    return _sig
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3,
+                       k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig array<bigint>[k]): min over shingles of an affine hash
+    family over a 64-bit shingle hash.
+
+    Entirely map-side, zero shuffle (round 1 exploded shingles and
+    re-grouped by doc_id, shuffling the whole shingle stream — corpus-sized
+    at 100 TB; signatures are a per-doc pure function, nothing needs to
+    move). The whole kernel — shingling included — runs in one Arrow-batched
+    pandas UDF: a pure-JVM formulation re-evaluated the regex+split per
+    lambda element (no CSE inside lambdas, ~3ms/doc) and the k-expression
+    signature pipeline re-inlined into every downstream band-hash reference;
+    the UDF does one regex pass + one numpy broadcast per doc and gives the
+    plan a materialization boundary.
+    """
+    sig = _minhash_sig_udf(n, k)
+    return docs.select("doc_id", sig(F.col("text")).alias("sig"))
 
 
 def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
@@ -208,7 +271,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
     the two verify joins move only candidate rows + their shingle arrays.
     """
     cands = minhash_band_candidates(docs, n, k, bands)
-    sh = docs.select("doc_id", shingles_col(n).alias("sh"))
+    sh = docs.select("doc_id", shingles_udf(n)(F.col("text")).alias("sh"))
     s1 = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
     common = F.size(F.array_intersect("sh1", "sh2"))
@@ -321,6 +384,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
              .alias("hamming"),
         )
-        .dropDuplicates(["id1", "id2"])
+        # verify BEFORE dedup: bit_count is columnar-cheap on the full
+        # candidate stream, and it shrinks the dropDuplicates shuffle from
+        # O(candidates) to O(true pairs x <= nb block collisions)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id1", "id2"])
     )

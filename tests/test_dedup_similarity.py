@@ -60,6 +60,24 @@ def test_simhash_vectorized_matches_scalar_corpus():
 
 # ------------------------------------------------------------------ minhash
 
+def test_shingles_py_matches_jvm_column(spark):
+    """The Python shingler used inside the minhash/verify UDFs must be
+    byte-equal to the JVM `shingles_col` (which the DuckDB oracle mirrors),
+    including adversarial whitespace/short-doc cases."""
+    from glm_ocr_spark.operators.dedup import shingles_col, shingles_py
+
+    adversarial = ["", " ", "one", "one two", "one two three",
+                   "a  b\tc\nd e", "  padded   text here  ",
+                   "Mixed CASE Words repeat repeat repeat words words",
+                   "x " * 50]
+    docs = spark.read.parquet(f"{SF1}/documents.parquet").select("text")
+    texts = [r["text"] for r in docs.collect()] + adversarial
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select("text", shingles_col(3).alias("sh")).collect()
+    for r in rows:
+        assert list(r["sh"]) == shingles_py(r["text"], 3), repr(r["text"])
+
+
 def test_minhash_signatures_plan_has_no_exchange(spark):
     """Signatures are a per-doc pure function — the plan must be a narrow
     map (round 1 regression: explode+groupBy shuffled the shingle stream)."""
