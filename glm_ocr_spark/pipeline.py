@@ -262,15 +262,16 @@ def repartition_salted(df: DataFrame, num_partitions: int,
 
 
 def run(spark: SparkSession, input_path: str, output_path: str,
-        fmt: str = "parquet") -> None:
+        fmt: str = "parquet", mode: str = "layout", config=None) -> None:
     """Batch job entry: read transcripts, extract, write partitioned output.
 
     Output is ordered within files by (conv_id, turn_idx) via a range
     repartition + in-partition sort (north-rule stable ordering) without a
-    global single-reducer sort.
+    global single-reducer sort. `mode`/`config` come from the resolution
+    chain (config_loader.load_config: kwargs > env > .env > YAML > defaults).
     """
     df = spark.read.format(fmt).load(input_path)
-    out = extract_transcripts(df)
+    out = extract_transcripts(df, mode=mode, config=config)
     (
         out.repartitionByRange("conv_id", "turn_idx")
         .sortWithinPartitions("conv_id", "turn_idx")

@@ -83,6 +83,8 @@ def run_with_checkpoint(
     input_snapshot: str = "v1",
     fail_after_buckets: int | None = None,
     buckets_per_job: int | None = None,
+    mode: str = "layout",
+    config=None,
 ) -> dict:
     """Extract with per-bucket checkpointing; resumable after a kill.
 
@@ -121,7 +123,8 @@ def run_with_checkpoint(
     for i in range(0, len(pending), chunk):
         batch = pending[i:i + chunk]
         part = src.filter(F.col("bucket").isin(batch))
-        out = extract_transcripts(part, passthrough=("bucket",))
+        out = extract_transcripts(part, passthrough=("bucket",),
+                                  mode=mode, config=config)
         out.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
         input_scans += 1
 

@@ -2,7 +2,12 @@
 
   spark-submit --py-files glm_ocr_spark.zip jobs/extract_job.py \
       --input <transcripts path> --output <dir> --state <dir> \
-      [--buckets 256] [--snapshot v1] [--format parquet]
+      [--buckets 256] [--snapshot v1] [--format parquet] \
+      [--config extract.yaml] [--mode layout|ocr_only]
+
+Extraction knobs resolve through the reference-style chain (glmocr/
+config.py:293-364): CLI flags > GLMOCR_SPARK_* env > .env > --config YAML >
+defaults (glm_ocr_spark.config_loader.load_config).
 
 On a cluster, --buckets should be ~2-4x the executor count: each bucket is
 one resumable unit of work (state-table row), and a killed run loses at most
@@ -13,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 
+from glm_ocr_spark.config_loader import load_config
 from glm_ocr_spark.pipeline import get_spark, run
 from glm_ocr_spark.state import run_with_checkpoint
 
@@ -25,7 +31,13 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--snapshot", default="v1")
     ap.add_argument("--format", default="parquet")
+    ap.add_argument("--config", default=None, help="extraction YAML")
+    ap.add_argument("--mode", default=None, choices=["layout", "ocr_only"])
+    ap.add_argument("--score-threshold", type=float, default=None)
     args = ap.parse_args()
+
+    cfg, job = load_config(config_path=args.config, mode=args.mode,
+                           score_threshold=args.score_threshold)
 
     spark = get_spark(app="glm-ocr-extract")
     if args.state:
@@ -33,10 +45,12 @@ def main() -> None:
         metrics = run_with_checkpoint(
             spark, df, args.output, args.state,
             n_buckets=args.buckets, input_snapshot=args.snapshot,
+            mode=job["mode"], config=cfg,
         )
         print(f"extract_job: {metrics}")
     else:
-        run(spark, args.input, args.output, fmt=args.format)
+        run(spark, args.input, args.output, fmt=args.format,
+            mode=job["mode"], config=cfg)
     spark.stop()
 
 
