@@ -294,7 +294,13 @@ def main() -> None:
     # dominated by fixed stage/JVM overheads and misreport efficiency.
     tpath = ensure_transcripts(spark, sf)
     scaling_path = tpath
+    # same fine-split config as the scaling workers (one split per file;
+    # wave-quantization removal) for the headline number
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
     n_rows, dt = extract_throughput(spark, tpath)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "512k")
     queries_sec["extract_transcripts"] = round(dt, 3)
     turns_per_sec = n_rows / dt
 

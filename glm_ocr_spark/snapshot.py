@@ -1,0 +1,233 @@
+"""Iceberg-style atomic snapshot commits over plain parquet.
+
+SURVEY.md §2 K4/X7/X8 name an Iceberg state table with atomic snapshot
+commits (idempotent MERGE, per-partition watermarks, lock-free); Iceberg
+jars are not available in this sandbox, so this module provides the same
+COMMIT PROTOCOL on the local filesystem, exactly the part of Iceberg the
+design relies on:
+
+  - a table root holds immutable data files under ``data/`` and numbered
+    manifests ``manifest-%012d.json``;
+  - a snapshot = one manifest listing, for every bucket, its data files +
+    watermark metrics (rows/bytes/completed_at/input snapshot) — the
+    "multi-table" commit: extracted output AND its state watermark become
+    visible in the SAME atomic step, so a reader can never observe data
+    without its watermark or a watermark without its data;
+  - commit = write tmp manifest, fsync, then ``os.link`` to the final name
+    (link fails if the name exists -> optimistic concurrency, the loser
+    retries against the new current snapshot — Iceberg's CAS on the
+    catalog pointer);
+  - a crash after data files are written but before the manifest link
+    leaves orphan files that no reader can see (Iceberg's unreachable
+    files, GC'd later); re-processing a bucket swaps its file list in the
+    next manifest — idempotent MERGE semantics;
+  - time travel = read any older manifest by snapshot id.
+
+At 10^12 rows the manifest is O(buckets) (thousands of entries), not
+O(files-per-bucket x history): each manifest carries the full current
+bucket map, copy-on-write from its parent. A production deployment swaps
+this module for real Iceberg without touching callers (the reference
+analogy: apps/backend task DB + portalocker, replaced here by CAS commits).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_FMT = "manifest-%012d.json"
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # ------------------------------------------------------------ manifests
+
+    def _manifest_ids(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.root):
+            if f.startswith("manifest-") and f.endswith(".json"):
+                try:
+                    out.append(int(f[len("manifest-"):-len(".json")]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def current_id(self) -> int | None:
+        ids = self._manifest_ids()
+        return ids[-1] if ids else None
+
+    def manifest(self, snapshot_id: int | None = None) -> dict | None:
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            return None
+        path = os.path.join(self.root, MANIFEST_FMT % sid)
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------ staging
+
+    def staging_dir(self) -> str:
+        """A unique dir under data/ for one write attempt. Files written
+        here are invisible until a manifest references them."""
+        d = os.path.join(self.root, "data", uuid.uuid4().hex)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    # ------------------------------------------------------------ commit
+
+    def commit(self, bucket_entries: dict[int, dict],
+               input_snapshot: str = "v1") -> int:
+        """Atomically publish new/updated bucket entries merged over the
+        current snapshot. Returns the new snapshot id.
+
+        Each entry: {"files": [...], "rows_out": n, "bytes_out": n}.
+        Retries on concurrent-commit collision (CAS loop)."""
+        while True:
+            cur = self.manifest()
+            buckets = dict(cur["buckets"]) if cur else {}
+            now = dt.datetime.now(dt.timezone.utc).isoformat()
+            for b, entry in bucket_entries.items():
+                buckets[str(b)] = {**entry, "input_snapshot": input_snapshot,
+                                   "completed_at": now}
+            new_id = (cur["snapshot_id"] + 1) if cur else 0
+            manifest = {
+                "snapshot_id": new_id,
+                "parent": cur["snapshot_id"] if cur else None,
+                "committed_at": now,
+                "buckets": buckets,
+            }
+            tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            final = os.path.join(self.root, MANIFEST_FMT % new_id)
+            try:
+                os.link(tmp, final)  # atomic create-if-absent (the CAS)
+                os.unlink(tmp)
+                return new_id
+            except FileExistsError:
+                os.unlink(tmp)  # lost the race: merge onto the winner
+
+    # ------------------------------------------------------------ reads
+
+    def completed_buckets(self, input_snapshot: str = "v1",
+                          snapshot_id: int | None = None) -> set[int]:
+        m = self.manifest(snapshot_id)
+        if not m:
+            return set()
+        return {int(b) for b, e in m["buckets"].items()
+                if e.get("input_snapshot") == input_snapshot}
+
+    def output_files(self, snapshot_id: int | None = None) -> list[str]:
+        m = self.manifest(snapshot_id)
+        if not m:
+            return []
+        files: list[str] = []
+        for e in m["buckets"].values():
+            files.extend(e["files"])
+        return files
+
+    def read_output(self, spark: SparkSession,
+                    snapshot_id: int | None = None) -> DataFrame:
+        """The committed output table as of a snapshot (time travel)."""
+        files = self.output_files(snapshot_id)
+        if not files:
+            raise ValueError("no committed snapshot")
+        return spark.read.parquet(*files)
+
+    def state_rows(self, snapshot_id: int | None = None) -> list[dict]:
+        m = self.manifest(snapshot_id)
+        if not m:
+            return []
+        return [
+            {"bucket": int(b), "status": "completed",
+             "rows_out": e["rows_out"], "bytes_out": e["bytes_out"],
+             "input_snapshot": e["input_snapshot"],
+             "completed_at": e["completed_at"]}
+            for b, e in m["buckets"].items()
+        ]
+
+
+def _staged_parquet_stats(d: str) -> tuple[list[str], int, int]:
+    """(parquet files, rows from footers, bytes) for one staged write."""
+    import pyarrow.parquet as pq
+
+    files, rows, total = [], 0, 0
+    for root, _dirs, fs in os.walk(d):
+        for f in fs:
+            p = os.path.join(root, f)
+            if f.endswith(".parquet"):
+                files.append(p)
+                rows += pq.ParquetFile(p).metadata.num_rows
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+    return sorted(files), rows, total
+
+
+def run_with_snapshots(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    catalog_root: str,
+    n_buckets: int = 16,
+    input_snapshot: str = "v1",
+    buckets_per_commit: int | None = None,
+    fail_before_commit_n: int | None = None,
+    mode: str = "layout",
+    config=None,
+) -> dict:
+    """Checkpointed extraction with atomic multi-table snapshot commits.
+
+    Like state.run_with_checkpoint, but output data and state watermarks
+    are published together through SnapshotStore.commit — the Iceberg-
+    protocol path (SURVEY §7.3.5). `fail_before_commit_n` crashes after
+    the Nth batch's data files are staged but BEFORE its commit: the
+    atomicity test — those files must stay invisible.
+    """
+    from pyspark.sql import functions as F
+
+    from glm_ocr_spark.pipeline import extract_transcripts
+    from glm_ocr_spark.state import bucket_col
+
+    store = SnapshotStore(catalog_root)
+    done = store.completed_buckets(input_snapshot)
+    pending = [b for b in range(n_buckets) if b not in done]
+    chunk = buckets_per_commit or len(pending) or 1
+
+    src = transcripts.withColumn("bucket", bucket_col(n_buckets))
+    commits = 0
+    processed = 0
+    for i in range(0, len(pending), chunk):
+        batch = pending[i:i + chunk]
+        part = src.filter(F.col("bucket").isin(batch))
+        staged = store.staging_dir()
+        (extract_transcripts(part, passthrough=("bucket",))
+         .write.mode("overwrite").partitionBy("bucket").parquet(staged))
+        if fail_before_commit_n is not None and \
+                commits + 1 >= fail_before_commit_n:
+            raise RuntimeError("injected crash before snapshot commit")
+        entries = {}
+        for b in batch:
+            bdir = os.path.join(staged, f"bucket={b}")
+            files, rows, nbytes = _staged_parquet_stats(bdir)
+            entries[b] = {"files": files, "rows_out": rows,
+                          "bytes_out": nbytes}
+        store.commit(entries, input_snapshot)
+        commits += 1
+        processed += len(batch)
+
+    return {
+        "resumed_buckets": len(done),
+        "processed_buckets": processed,
+        "commits": commits,
+        "snapshot_id": store.current_id(),
+    }

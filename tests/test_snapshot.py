@@ -1,0 +1,117 @@
+"""Atomic snapshot commit protocol (Iceberg-analog, SURVEY §2 K4/X7/X8):
+multi-table atomicity (output + watermark visible together), crash
+invisibility, idempotent resume, time travel, CAS concurrency."""
+
+import json
+import os
+
+import pytest
+
+from glm_ocr_spark.data.gen import transcripts_df
+from glm_ocr_spark.snapshot import SnapshotStore, run_with_snapshots
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def small_transcripts(spark):
+    df = transcripts_df(spark, 0.001).filter("turn_idx < 10").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _logical(spark, store, sid=None):
+    rows = store.read_output(spark, sid).collect()
+    return sorted((r["conv_id"], r["turn_idx"], r["extracted_text"], r["json"])
+                  for r in rows)
+
+
+def test_full_run_and_state(spark, small_transcripts, tmp_path):
+    root = str(tmp_path / "cat")
+    m = run_with_snapshots(spark, small_transcripts, root,
+                           n_buckets=N_BUCKETS)
+    assert m["processed_buckets"] == N_BUCKETS
+    assert m["commits"] == 1
+    store = SnapshotStore(root)
+    assert store.read_output(spark).count() == small_transcripts.count()
+    state = store.state_rows()
+    assert len(state) == N_BUCKETS
+    assert sum(r["rows_out"] for r in state) == small_transcripts.count()
+    assert all(r["bytes_out"] > 0 for r in state)
+
+
+def test_crash_before_commit_is_invisible(spark, small_transcripts, tmp_path):
+    """Data files staged but not committed must not be readable — the
+    atomic multi-table guarantee (no output without watermark)."""
+    root = str(tmp_path / "cat")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_with_snapshots(spark, small_transcripts, root,
+                           n_buckets=N_BUCKETS, buckets_per_commit=3,
+                           fail_before_commit_n=2)
+    store = SnapshotStore(root)
+    # exactly one commit (3 buckets) landed; the staged 4th-6th bucket files
+    # exist on disk but are orphans
+    assert store.current_id() == 0
+    assert len(store.completed_buckets()) == 3
+    parquet_dirs = sum(
+        1 for _, _, fs in os.walk(os.path.join(root, "data"))
+        if any(f.endswith(".parquet") for f in fs))
+    committed_dirs = len({os.path.dirname(p)
+                          for p in store.output_files()})
+    assert parquet_dirs > committed_dirs  # staged-but-uncommitted orphans
+
+    # resume: completed buckets not recomputed, final output identical to
+    # an uninterrupted run
+    m = run_with_snapshots(spark, small_transcripts, root,
+                           n_buckets=N_BUCKETS)
+    assert m["resumed_buckets"] == 3
+    assert m["processed_buckets"] == N_BUCKETS - 3
+
+    root2 = str(tmp_path / "cat2")
+    run_with_snapshots(spark, small_transcripts, root2, n_buckets=N_BUCKETS)
+    assert _logical(spark, store) == _logical(spark, SnapshotStore(root2))
+
+
+def test_time_travel(spark, small_transcripts, tmp_path):
+    root = str(tmp_path / "cat")
+    run_with_snapshots(spark, small_transcripts, root,
+                       n_buckets=N_BUCKETS, buckets_per_commit=4)
+    store = SnapshotStore(root)
+    assert store.current_id() == 1
+    early = store.read_output(spark, snapshot_id=0).count()
+    final = store.read_output(spark, snapshot_id=1).count()
+    assert 0 < early < final == small_transcripts.count()
+    assert len(store.completed_buckets(snapshot_id=0)) == 4
+    assert len(store.completed_buckets(snapshot_id=1)) == N_BUCKETS
+
+
+def test_cas_retry_merges_over_interloper(tmp_path):
+    """A concurrent commit that wins the manifest name race must not be
+    lost: the loser retries and merges over it."""
+    root = str(tmp_path / "cat")
+    store = SnapshotStore(root)
+    store.commit({0: {"files": ["a.parquet"], "rows_out": 1, "bytes_out": 1}})
+    # interloper grabs manifest id 1 directly
+    inter = {"snapshot_id": 1, "parent": 0, "committed_at": "x",
+             "buckets": {"7": {"files": ["z.parquet"], "rows_out": 9,
+                               "bytes_out": 9, "input_snapshot": "v1",
+                               "completed_at": "x"}}}
+    with open(os.path.join(root, "manifest-%012d.json" % 1), "w") as f:
+        json.dump(inter, f)
+    sid = store.commit(
+        {1: {"files": ["b.parquet"], "rows_out": 2, "bytes_out": 2}})
+    assert sid == 2
+    m = store.manifest()
+    # both the interloper's bucket 7 and our bucket 1 survive
+    assert set(m["buckets"]) == {"1", "7"}
+    assert m["parent"] == 1
+
+
+def test_rerun_is_noop(spark, small_transcripts, tmp_path):
+    root = str(tmp_path / "cat")
+    run_with_snapshots(spark, small_transcripts, root, n_buckets=4)
+    m = run_with_snapshots(spark, small_transcripts, root, n_buckets=4)
+    assert m["resumed_buckets"] == 4
+    assert m["processed_buckets"] == 0
+    assert m["commits"] == 0
