@@ -171,6 +171,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_components(spark, sf_dir):
+    # near-dup clusters: LSH pairs -> connected components (min-id label)
+    from glm_ocr_spark.operators.dedup import dedup_components
+
+    return dedup_components(_docs(spark, sf_dir), threshold=0.5)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from glm_ocr_spark.operators.dedup import simhash_pairs
 
@@ -373,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -599,6 +607,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON s1.doc_id = id1
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE n_common / (s1.n_sh + s2.n_sh - n_common) >= 0.5
+        """,
+        # transitive closure over the exact >= 0.5 Jaccard pair graph:
+        # min reachable doc_id per node == the Spark min-label component
+        "dedup_components": f"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle
+              FROM words, unnest(
+                CASE WHEN len(ws) >= 3
+                     THEN list_distinct(list_transform(
+                            generate_series(1, len(ws) - 2),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     ELSE [array_to_string(ws, ' ')] END) AS t(shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            cand AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT id1, id2 FROM cand
+              JOIN sizes s1 ON s1.doc_id = id1
+              JOIN sizes s2 ON s2.doc_id = id2
+              WHERE n_common / (s1.n_sh + s2.n_sh - n_common) >= 0.5),
+            edges AS (
+              SELECT id1 AS a, id2 AS b FROM p
+              UNION SELECT id2, id1 FROM p),
+            reach(node, mn) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, r.mn FROM reach r JOIN edges e ON e.a = r.node)
+            SELECT node AS doc_id, min(mn) AS component_id
+            FROM reach GROUP BY node
         """,
         # brute-force all-pairs cosine: ground truth for the LSH+verify path
         # (recall ~1 at the shipped band parameters; exact verify -> equality)

@@ -283,6 +283,64 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
     )
 
 
+# ------------------------------------------------------- dedup clustering
+
+def connected_components(pairs: DataFrame, id1: str = "id1",
+                         id2: str = "id2", max_iter: int = 25) -> DataFrame:
+    """(doc_id, component_id) for every doc in a similarity-pair graph;
+    component_id = min doc_id in the component (the dedup keeper).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its label and its neighbors' labels — converges in O(graph
+    diameter) rounds, and near-dup components are tiny (pairs of a
+    document and its variants), so 2-4 rounds in practice. Each round is
+    one join + one aggregate; `localCheckpoint` truncates the growing
+    lineage so round N's plan doesn't replay rounds 1..N-1. At very large
+    graph scale the large-star/small-star variant halves rounds; the same
+    loop shape applies.
+    """
+    e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+        .distinct().localCheckpoint()
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nmin"), F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("component_id"))
+
+
+def dedup_components(docs: DataFrame, n: int = 3,
+                     threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate clusters: minhash-LSH pairs (exact-Jaccard verified)
+    -> connected components. The standard corpus-dedup shape: keep
+    component_id == doc_id rows, drop the rest."""
+    pairs = minhash_lsh_pairs(docs, n=n, threshold=threshold)
+    return connected_components(pairs)
+
+
 # ----------------------------------------------------------------- simhash
 
 def simhash64_scalar(t: str) -> int:

@@ -103,6 +103,35 @@ def test_minhash_lsh_equals_exact_jaccard(spark):
     assert len(exact) > 0
 
 
+# ------------------------------------------------------------------ components
+
+def test_connected_components_chain(spark):
+    """Chain graph with diameter 3 + separate pair: label propagation must
+    iterate past one hop."""
+    from glm_ocr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (4, 9)],
+        "id1 long, id2 long")
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 1, 10: 10, 11: 10}
+
+
+def test_dedup_components_groups_near_dups(spark):
+    from glm_ocr_spark.operators.dedup import dedup_components, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    comp = {r["doc_id"]: r["component_id"]
+            for r in dedup_components(docs, threshold=0.5).collect()}
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert len(comp) > 0
+    for p in pairs:  # both ends of every pair share a component
+        assert comp[p["id1"]] == comp[p["id2"]]
+    for d, c in comp.items():  # keeper is the min id, present in the map
+        assert c <= d and comp[c] == c
+
+
 # ------------------------------------------------------------------ embeddings
 
 def _load_embeddings(sf_dir):
