@@ -122,8 +122,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     Scale note: standalone this is the verify kernel; at 100 TB it only ever
     runs *inside* LSH buckets (minhash_lsh_pairs), never globally.
     """
+    # shingles via the pandas UDF (byte-equal to shingles_col, tested):
+    # the JVM lambda re-evaluates its regex+split per element, and this
+    # relation is consumed twice (both sides of the self-join)
     sh = docs.select(
-        "doc_id", F.explode(shingles_col(n)).alias("shingle")
+        "doc_id", F.explode(shingles_udf(n)(F.col("text"))).alias("shingle")
     ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
