@@ -76,6 +76,20 @@ def q_extract_docs(spark, sf_dir):
     )
 
 
+def q_extract_ocr_only(spark, sf_dir):
+    """The reference's enable_layout=false path (pipeline.py:175-280):
+    whole payload as one region, markup-stripped and cleaned."""
+    from glm_ocr_spark.pipeline import extract_transcripts
+
+    out = extract_transcripts(_docs_as_transcripts(_docs(spark, sf_dir)),
+                              mode="ocr_only")
+    return out.select(
+        F.col("turn_idx").cast("long").alias("doc_id"),
+        "extracted_text",
+        "n_blocks",
+    )
+
+
 def q_conv_rollup(spark, sf_dir):
     """Unit-level assembly over extracted turns (J7/A2/A5)."""
     from glm_ocr_spark.pipeline import conversation_rollup, extract_transcripts
@@ -365,6 +379,7 @@ def q_events_hourly_rollup(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_docs": q_extract_docs,
+        "extract_ocr_only": q_extract_ocr_only,
         "conv_rollup": q_conv_rollup,
         "t1_clean_punct_runs": q_t1_clean_punct_runs,
         "t5_title_format": q_t5_title_format,
@@ -426,6 +441,15 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS span_end
             FROM documents
             WHERE trim(text) != ''
+        """,
+        # ocr_only (layout-off) over the clean single-block corpus reduces to
+        # trim(text): no markup to strip, no punct runs to clean (verified
+        # exhaustively against the kernel at sf0.01)
+        "extract_ocr_only": """
+            SELECT doc_id,
+                   trim(text) AS extracted_text,
+                   CASE WHEN trim(text) != '' THEN 1 ELSE 0 END AS n_blocks
+            FROM documents
         """,
         # extracted markdown == trim(text) for these single-block payloads
         # (verified by the extract_docs oracle), so the rollup reduces to an
