@@ -370,6 +370,23 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_events(spark, sf_dir), gap_minutes=30)
 
 
+def q_doc_length_percentiles(spark, sf_dir):
+    """Exact percentile aggregate per language (linear interpolation —
+    Spark `percentile` == DuckDB `quantile_cont`). At 100 TB swap for
+    `percentile_approx` (t-digest, mergeable map-side); the exact form is
+    the oracle-checkable baseline."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
 def q_events_hourly_rollup(spark, sf_dir):
     from glm_ocr_spark.operators.relational import events_hourly_rollup
 
@@ -415,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events_per_user": q_topk_events_per_user,
         "sessionize": q_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "doc_length_percentiles": q_doc_length_percentiles,
     }
 
 
@@ -813,5 +831,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "doc_length_percentiles": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90
+            FROM documents GROUP BY lang
         """,
     }

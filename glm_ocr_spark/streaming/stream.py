@@ -87,6 +87,27 @@ def stateful_conversation_tracker(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def streaming_exact_dedup(transcripts: DataFrame,
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: first occurrence of each normalized-content
+    hash within the watermark horizon passes, later copies are dropped.
+
+    `dropDuplicatesWithinWatermark` keeps state only until the watermark
+    passes a key's event time — bounded state at unbounded stream length,
+    the streaming analog of the batch hash-groupBy dedup. Content hash is
+    the same md5(normalized text) used by `operators.dedup.exact_dedup`,
+    so batch and stream agree on what counts as a duplicate.
+    """
+    h = F.md5(F.encode(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+        "UTF-8"))
+    return (
+        transcripts.withColumn("content_hash", h)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
 def conversation_progress_stream(transcripts: DataFrame,
                                  watermark: str = "10 minutes",
                                  window: str = "1 hour") -> DataFrame:

@@ -111,3 +111,31 @@ def test_progress_rollup(spark, transcripts_path, tmp_path):
     assert all(r["turns_done"] >= 1 for r in rows)
     assert all(r["blocks_total"] >= 0 for r in rows)
     assert len(by_conv) > 1
+
+
+def test_streaming_exact_dedup(spark, transcripts_path, tmp_path):
+    """First occurrence of each content hash passes; duplicates within the
+    watermark horizon drop. The corpus has exact-duplicate payloads by
+    construction (same generator template), so the stream output must be
+    strictly smaller and hash-unique."""
+    from glm_ocr_spark.streaming.stream import streaming_exact_dedup
+
+    stream = read_transcripts_stream(spark, transcripts_path,
+                                     max_files_per_trigger=100)
+    ded = streaming_exact_dedup(stream, watermark="1 minute")
+    ckpt = str(tmp_path / "ckpt3")
+    q = (
+        ded.writeStream
+        .format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select content_hash from dedup_stream").collect()
+    n_total = spark.read.parquet(transcripts_path).count()
+    hashes = [r["content_hash"] for r in rows]
+    assert 0 < len(hashes) <= n_total
+    assert len(hashes) == len(set(hashes))  # no duplicate survives a batch
