@@ -143,6 +143,55 @@ class SnapshotStore:
             raise ValueError("no committed snapshot")
         return spark.read.parquet(*files)
 
+    # ------------------------------------------------------------ expiry
+
+    def expire_snapshots(self, keep_from: int,
+                         min_orphan_age_sec: float = 0.0) -> dict:
+        """Iceberg-style maintenance: drop manifests older than `keep_from`
+        and delete data files referenced by no kept manifest.
+
+        `min_orphan_age_sec` protects files staged by an in-flight
+        concurrent writer that has not committed yet (Iceberg's
+        remove-orphan-files age threshold); production would use hours.
+        Readers of kept snapshots are unaffected — their file lists stay
+        intact."""
+        import time as _time
+
+        ids = self._manifest_ids()
+        keep_ids = [i for i in ids if i >= keep_from]
+        if not keep_ids:
+            raise ValueError("expiry would drop every snapshot")
+        referenced: set[str] = set()
+        for sid in keep_ids:
+            referenced.update(self.output_files(sid))
+        now = _time.time()
+        removed_files = 0
+        data_root = os.path.join(self.root, "data")
+        for root, _dirs, fs in os.walk(data_root, topdown=False):
+            for f in fs:
+                p = os.path.join(root, f)
+                if p in referenced:
+                    continue
+                try:
+                    if now - os.path.getmtime(p) < min_orphan_age_sec:
+                        continue
+                    os.unlink(p)
+                    removed_files += 1
+                except OSError:
+                    pass
+            try:
+                os.rmdir(root)  # only succeeds when emptied
+            except OSError:
+                pass
+        removed_manifests = 0
+        for i in ids:
+            if i < keep_from:
+                os.unlink(os.path.join(self.root, MANIFEST_FMT % i))
+                removed_manifests += 1
+        return {"removed_manifests": removed_manifests,
+                "removed_files": removed_files,
+                "kept_snapshots": keep_ids}
+
     def state_rows(self, snapshot_id: int | None = None) -> list[dict]:
         m = self.manifest(snapshot_id)
         if not m:

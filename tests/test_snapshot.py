@@ -108,6 +108,35 @@ def test_cas_retry_merges_over_interloper(tmp_path):
     assert m["parent"] == 1
 
 
+def test_expire_snapshots_gc(spark, small_transcripts, tmp_path):
+    """Expiry drops old manifests + unreferenced data files; the kept
+    snapshot stays fully readable (its file list is untouched)."""
+    root = str(tmp_path / "cat")
+    # crash leaves an orphaned staging attempt, then a full run commits all
+    with pytest.raises(RuntimeError):
+        run_with_snapshots(spark, small_transcripts, root,
+                           n_buckets=N_BUCKETS, buckets_per_commit=3,
+                           fail_before_commit_n=2)
+    run_with_snapshots(spark, small_transcripts, root, n_buckets=N_BUCKETS)
+    store = SnapshotStore(root)
+    cur = store.current_id()
+    before = store.read_output(spark).count()
+
+    res = store.expire_snapshots(keep_from=cur)
+    assert res["removed_manifests"] == cur
+    assert res["removed_files"] > 0  # the orphaned staging attempt
+    assert store.current_id() == cur
+    assert store.read_output(spark).count() == before
+    # every remaining parquet file is referenced
+    remaining = []
+    for r, _d, fs in os.walk(os.path.join(root, "data")):
+        remaining += [os.path.join(r, f) for f in fs
+                      if f.endswith(".parquet")]
+    assert set(remaining) == set(store.output_files())
+    with pytest.raises(ValueError):
+        store.expire_snapshots(keep_from=cur + 1)
+
+
 def test_rerun_is_noop(spark, small_transcripts, tmp_path):
     root = str(tmp_path / "cat")
     run_with_snapshots(spark, small_transcripts, root, n_buckets=4)
