@@ -192,6 +192,14 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_keep_first(spark, sf_dir):
+    # the corpus minus non-keeper near-dup members (component min survives)
+    from glm_ocr_spark.operators.dedup import dedup_keep_first
+
+    out = dedup_keep_first(_docs(spark, sf_dir), threshold=0.5)
+    return out.select("doc_id", "source", "lang", "n_chars")
+
+
 def q_dedup_simhash(spark, sf_dir):
     from glm_ocr_spark.operators.dedup import simhash_pairs
 
@@ -413,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
+        "dedup_keep_first": q_dedup_keep_first,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -683,6 +692,42 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b, r.mn FROM reach r JOIN edges e ON e.a = r.node)
             SELECT node AS doc_id, min(mn) AS component_id
             FROM reach GROUP BY node
+        """,
+        # corpus minus non-keeper members of each >= 0.5 Jaccard component
+        "dedup_keep_first": f"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle
+              FROM words, unnest(
+                CASE WHEN len(ws) >= 3
+                     THEN list_distinct(list_transform(
+                            generate_series(1, len(ws) - 2),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     ELSE [array_to_string(ws, ' ')] END) AS t(shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            cand AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT id1, id2 FROM cand
+              JOIN sizes s1 ON s1.doc_id = id1
+              JOIN sizes s2 ON s2.doc_id = id2
+              WHERE n_common / (s1.n_sh + s2.n_sh - n_common) >= 0.5),
+            edges AS (
+              SELECT id1 AS a, id2 AS b FROM p
+              UNION SELECT id2, id1 FROM p),
+            reach(node, mn) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, r.mn FROM reach r JOIN edges e ON e.a = r.node),
+            comp AS (
+              SELECT node, min(mn) AS component_id FROM reach GROUP BY node)
+            SELECT doc_id, source, lang, n_chars FROM documents
+            WHERE doc_id NOT IN
+              (SELECT node FROM comp WHERE component_id != node)
         """,
         # brute-force all-pairs cosine: ground truth for the LSH+verify path
         # (recall ~1 at the shipped band parameters; exact verify -> equality)

@@ -344,6 +344,18 @@ def dedup_components(docs: DataFrame, n: int = 3,
     return connected_components(pairs)
 
 
+def dedup_keep_first(docs: DataFrame, n: int = 3,
+                     threshold: float = 0.5) -> DataFrame:
+    """The actionable form of near-dup removal: the corpus minus every
+    non-keeper member of a near-dup component (keeper = min doc_id).
+    Left-anti join against the small non-keeper set — the docs table never
+    re-shuffles."""
+    comp = dedup_components(docs, n=n, threshold=threshold)
+    losers = comp.filter(F.col("component_id") != F.col("doc_id")) \
+        .select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 # ----------------------------------------------------------------- simhash
 
 def simhash64_scalar(t: str) -> int:

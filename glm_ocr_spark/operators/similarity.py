@@ -234,6 +234,32 @@ def ivf_topk(emb: DataFrame, query: list[float], k: int = 10,
     ).orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
+def neardup_params(threshold: float, target_miss: float = 0.005,
+                   max_bands: int = 32) -> tuple[int, int]:
+    """(bands, planes_per_band) for a target per-pair miss probability at a
+    cosine threshold.
+
+    Per-plane agreement p = 1 - θ/π; a band of P planes matches with p^P;
+    B OR-ed bands miss with (1-p^P)^B. Pick the LARGEST P whose required
+    B = ceil(ln(miss)/ln(1-p^P)) fits the band budget: more planes per
+    band = 2^P buckets per band = fewer candidates, which is where the
+    100 TB cost lives. Production near-dup (t>=0.95) lands around (27, 16)
+    — 65k buckets/band; the shipped t=0.5 default (16, 3) is the
+    weak-similarity regime where LSH prunes little by nature.
+    """
+    import math
+
+    p = 1.0 - math.acos(threshold) / math.pi
+    for planes in range(24, 0, -1):
+        pband = p ** planes
+        if pband >= 1.0:
+            continue
+        bands = math.ceil(math.log(target_miss) / math.log(1.0 - pband))
+        if bands <= max_bands:
+            return bands, planes
+    return max_bands, 1
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.5,
                             bands: int = NEARDUP_BANDS,
                             planes_per_band: int = NEARDUP_PLANES_PER_BAND,

@@ -132,6 +132,40 @@ def test_dedup_components_groups_near_dups(spark):
         assert c <= d and comp[c] == c
 
 
+def test_dedup_keep_first_invariants(spark):
+    from glm_ocr_spark.operators.dedup import (
+        dedup_components,
+        dedup_keep_first,
+    )
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    kept = {r["doc_id"] for r in dedup_keep_first(docs).select("doc_id").collect()}
+    comp = dedup_components(docs)
+    losers = {r["doc_id"] for r in
+              comp.filter("component_id != doc_id").collect()}
+    keepers = {r["component_id"] for r in comp.collect()}
+    assert kept.isdisjoint(losers)
+    assert keepers <= kept  # every component keeper survives
+    assert len(kept) == docs.count() - len(losers)
+
+
+def test_neardup_params_monotone():
+    """Higher thresholds afford more planes per band (finer buckets), and
+    every recommendation meets the target miss probability."""
+    import math
+
+    from glm_ocr_spark.operators.similarity import neardup_params
+
+    prev_planes = 0
+    for t in (0.5, 0.8, 0.9, 0.95):
+        bands, planes = neardup_params(t, target_miss=0.005)
+        p = 1 - math.acos(t) / math.pi
+        miss = (1 - p ** planes) ** bands
+        assert miss <= 0.005, (t, bands, planes, miss)
+        assert planes >= prev_planes
+        prev_planes = planes
+
+
 # ------------------------------------------------------------------ embeddings
 
 def _load_embeddings(sf_dir):
