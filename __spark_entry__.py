@@ -164,6 +164,18 @@ def q_fingerprint(spark, sf_dir):
     return with_fingerprint(_docs(spark, sf_dir))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    from glm_ocr_spark.operators.text_analysis import with_token_count_bpe
+
+    return with_token_count_bpe(_docs(spark, sf_dir))
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    from glm_ocr_spark.operators.text_analysis import with_winnow_fingerprint
+
+    return with_winnow_fingerprint(_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     from glm_ocr_spark.operators.dedup import exact_dedup
 
@@ -417,6 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "token_count_bpe": q_token_count_bpe,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -599,6 +613,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe
+            FROM documents
+        """,
+        # winnowing (Schleimer et al. 2003): min 8-hex-md5 of each sliding
+        # window of 5 char-8-grams over normalized text; sorted distinct,
+        # joined ',' — string min is lexicographic on both engines
+        "winnow_fingerprint": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            h AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 8
+                     THEN list_transform(generate_series(1, len(t) - 7),
+                            i -> substr(md5(substr(t, i, 8)), 1, 8))
+                     ELSE [substr(md5(t), 1, 8)] END AS hs
+              FROM n),
+            w AS (
+              SELECT doc_id,
+                CASE WHEN len(hs) >= 5
+                     THEN list_transform(generate_series(1, len(hs) - 4),
+                            i -> list_min(hs[i:i+4]))
+                     ELSE [list_min(hs)] END AS mins
+              FROM h)
+            SELECT doc_id,
+                   array_to_string(list_sort(list_distinct(mins)), ',')
+                     AS winnow_fp
+            FROM w
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS content_hash,

@@ -1,9 +1,10 @@
 """Text-analysis operators over a documents table (doc_id, text, lang,
 source, n_chars).
 
-All pure column expressions (JVM-side, whole-stage codegen) — no Python in
-the hot path. Each has an exact ANSI-SQL twin in __spark_entry__.oracle_sql
-so DuckDB can verify it.
+Pure column expressions (JVM-side, whole-stage codegen) except the
+winnowing fingerprint, whose per-doc k-gram loop lives in one Arrow-batched
+pandas UDF (the lambda-CSE rule — see SCALE.md). Each operator has an exact
+ANSI-SQL twin in __spark_entry__.oracle_sql so DuckDB can verify it.
 
 Scale notes: every operator here is a narrow map over the scan — no shuffle,
 filters and column pruning push down to parquet. At 100 TB these run at
@@ -12,8 +13,10 @@ scan speed.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Shared spec constants — the SQL oracles in __spark_entry__ must use the
 # same values/patterns.
@@ -90,3 +93,60 @@ def with_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fingerprint")
     )
+
+
+# BPE-style pre-tokenizer classes: letter runs, digit runs, single
+# non-alnum marks (the GPT-2 pre-tokenizer shape without byte merges).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Subword-ish token count: letter runs + digit runs + punctuation marks
+    each count once — the standard pre-BPE segmentation, a tighter
+    training-cost proxy than whitespace counting (e.g. "don't" = 3)."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_PATTERN))
+        .alias("n_tokens_bpe"),
+    )
+
+
+WINNOW_K = 8   # k-gram length (chars)
+WINNOW_W = 5   # winnowing window (k-grams per window)
+
+
+def winnow_py(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """Winnowing fingerprint (Schleimer et al., SIGMOD 2003): hash every
+    char k-gram of the normalized text, keep the min hash of each sliding
+    window of w k-grams, return the sorted distinct selection joined ','.
+
+    Guarantees: any shared substring of length >= k+w-1 between two docs
+    contributes at least one common selected hash — the local, position-
+    robust fingerprint the brief's "rolling hash" names. Hashes are the
+    first 8 hex chars of md5 (string min == lexicographic, identical in
+    DuckDB, so the oracle is exact)."""
+    import hashlib
+    import re as _re
+
+    norm = _re.sub(r"\s+", " ", (text or "").strip(), flags=_re.ASCII).lower()
+    if len(norm) >= k:
+        hs = [hashlib.md5(norm[i:i + k].encode("utf-8")).hexdigest()[:8]
+              for i in range(len(norm) - k + 1)]
+    else:
+        hs = [hashlib.md5(norm.encode("utf-8")).hexdigest()[:8]]
+    if len(hs) >= w:
+        mins = [min(hs[i:i + w]) for i in range(len(hs) - w + 1)]
+    else:
+        mins = [min(hs)]
+    return ",".join(sorted(set(mins)))
+
+
+def with_winnow_fingerprint(docs: DataFrame) -> DataFrame:
+    """Per-doc winnowing fingerprints via one Arrow-batched pandas UDF
+    (k-gram hashing is a per-doc pure function — map-side, no shuffle;
+    the lambda-CSE rule keeps it out of JVM `transform`)."""
+    @F.pandas_udf(T.StringType())
+    def _fp(text: pd.Series) -> pd.Series:
+        return pd.Series([winnow_py(t) for t in text])
+
+    return docs.select("doc_id", _fp(F.col("text")).alias("winnow_fp"))

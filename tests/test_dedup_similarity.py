@@ -240,3 +240,24 @@ def test_ann_ivf_recall_floor(spark):
     recall = _ann_recall(
         spark, lambda emb, q: ivf_topk(emb, q, k=10, exclude_id=0))
     assert recall >= 0.6, recall
+
+
+# ------------------------------------------------------------------ winnowing
+
+def test_winnow_shared_substring_guarantee():
+    """Winnowing guarantee: docs sharing a substring of length >= k+w-1
+    (= 12 chars here) share at least one selected hash; disjoint docs
+    overwhelmingly don't."""
+    from glm_ocr_spark.operators.text_analysis import winnow_py
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    a = "PREFIX one " + base + " SUFFIX two"
+    b = "totally different head " + base + " different tail"
+    c = "no overlap here at all zyx wvu tsr qpo nml kji hgf"
+    fa, fb, fc = (set(winnow_py(t).split(",")) for t in (a, b, c))
+    assert fa & fb  # shared 60-char substring -> shared selection
+    assert not (fa & fc)
+    # determinism + short-doc path
+    assert winnow_py(a) == winnow_py(a)
+    assert winnow_py("tiny") != ""
+    assert winnow_py("") != ""
