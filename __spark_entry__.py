@@ -264,6 +264,15 @@ def q_mm_media_meta(spark, sf_dir):
     return feats.select("media_id", "mime", "byte_len")
 
 
+def q_mm_frame_sample(spark, sf_dir):
+    # 1->N frame fan-out plumbing; the chunk arithmetic is exactly
+    # SQL-expressible even though real video decode is stubbed
+    from glm_ocr_spark.operators.multimodal import docs_as_media, sample_frames
+
+    frames = sample_frames(docs_as_media(_docs(spark, sf_dir)), chunk_bytes=64)
+    return frames.select("media_id", "frame_idx", "frame_len")
+
+
 def q_asof_view_before_purchase(spark, sf_dir):
     """As-of join: each purchase matched to the user's most recent view at
     or before it (operators/asof.py, union-sort-window, no UDF)."""
@@ -442,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup": q_emb_neardup,
         "mm_media_meta": q_mm_media_meta,
+        "mm_frame_sample": q_mm_frame_sample,
         "asof_view_before_purchase": q_asof_view_before_purchase,
         "range_join_views_before_purchase": q_range_join_views_before_purchase,
         "semi_join_active_customers": q_semi_join_active_customers,
@@ -809,6 +819,18 @@ def oracle_sql() -> dict[str, str]:
                    'application/octet-stream' AS mime,
                    octet_length(encode(text)) AS byte_len
             FROM documents
+        """,
+        "mm_frame_sample": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     octet_length(encode(text)) AS L
+              FROM documents)
+            SELECT media_id,
+                   (i - 1)::INT AS frame_idx,
+                   (CASE WHEN i * 64 <= L THEN 64
+                         ELSE L - (i - 1) * 64 END)::INT AS frame_len
+            FROM m, unnest(generate_series(1,
+                   CAST(ceil(L / 64.0) AS BIGINT))) AS t(i)
         """,
         "asof_view_before_purchase": """
             WITH purchases AS (

@@ -100,6 +100,92 @@ def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_image_stub(payload: bytes, target_w: int, target_h: int,
+                      *, fake: bool = True) -> bytes:
+    """STUB: image resize. Real implementation = PIL `Image.resize` after
+    decode (the reference's smart_resize analog operates on pixel dims,
+    kernel/canonicalize.py holds the boundary math). The deterministic fake
+    re-hashes the payload to exactly target_w*target_h//64 bytes so batch
+    memory shapes are realistic. Strict mode raises."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL, not present in this environment")
+    n = max(1, target_w * target_h // 64)
+    out = bytearray()
+    seed = payload or b"\x00"
+    while len(out) < n:
+        seed = hashlib.sha256(seed).digest()
+        out.extend(seed)
+    return bytes(out[:n])
+
+
+def resize_media(media: DataFrame, target_w: int = 64,
+                 target_h: int = 64) -> DataFrame:
+    """mapInPandas resize: one output row per input, bounded per-batch
+    memory (payload in, resized payload out), narrow map."""
+
+    def _batches(batches):
+        for pdf in batches:
+            outs = [resize_image_stub(bytes(p) if p is not None else b"",
+                                      target_w, target_h)
+                    for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": outs,
+                "width": [target_w] * len(pdf),
+                "height": [target_h] * len(pdf),
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_len", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(media: DataFrame, chunk_bytes: int = 4096) -> DataFrame:
+    """Video frame-sampling plumbing: one input row fans out to one row per
+    fixed-size payload chunk ("frame"), inside mapInPandas — the 1->N batch
+    shape a real keyframe sampler (ffmpeg) needs, with bounded memory (one
+    input batch's frames at a time, never a full video in one list). The
+    chunking is deterministic, so the fan-out arithmetic has an exact SQL
+    oracle even though real decoding is stubbed."""
+
+    def _batches(batches):
+        for pdf in batches:
+            ids, idxs, lens, frames = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                for k in range(0, len(p), chunk_bytes):
+                    chunk = p[k:k + chunk_bytes]
+                    ids.append(mid)
+                    idxs.append(k // chunk_bytes)
+                    lens.append(len(chunk))
+                    frames.append(chunk)
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_len": pd.Series(lens, dtype="int32"),
+                "frame": pd.Series(frames, dtype=object),
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batches, schema=FRAME_SCHEMA)
+
+
 def docs_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for tests/benches: treat document text bytes as an opaque
     payload so the binary plumbing can run against the synthetic corpus."""

@@ -1,0 +1,65 @@
+"""Multimodal plumbing: decode/feature (stubbed), resize, frame sampling.
+
+The decode bodies are honest stubs (no media libs in this container); what
+these tests pin is the Spark-side machinery — schemas, 1->N fan-out shape,
+deterministic outputs, payload roundtrips through Arrow binary columns.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from glm_ocr_spark.operators.multimodal import (
+    decode_image_stub,
+    docs_as_media,
+    resize_image_stub,
+    resize_media,
+    sample_frames,
+)
+
+SF1 = "/root/testdata/sf0.001"
+
+
+def test_stubs_are_deterministic_and_strict_mode_raises():
+    p = b"payload-bytes"
+    assert decode_image_stub(p) == decode_image_stub(p)
+    assert resize_image_stub(p, 64, 64) == resize_image_stub(p, 64, 64)
+    assert resize_image_stub(p, 64, 64) != resize_image_stub(p, 32, 32)
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(p, fake=False)
+    with pytest.raises(NotImplementedError):
+        resize_image_stub(p, 64, 64, fake=False)
+
+
+def test_resize_media_shapes(spark):
+    media = docs_as_media(spark.read.parquet(f"{SF1}/documents.parquet"))
+    out = resize_media(media, target_w=64, target_h=32).collect()
+    assert len(out) == media.count()
+    expected_len = max(1, 64 * 32 // 64)
+    for r in out[:20]:
+        assert r["width"] == 64 and r["height"] == 32
+        assert len(bytes(r["payload"])) == expected_len
+
+
+def test_sample_frames_roundtrip(spark):
+    """Frames concatenate back to the original payload, in frame_idx order,
+    with every frame but the last exactly chunk-sized."""
+    media = docs_as_media(spark.read.parquet(f"{SF1}/documents.parquet"))
+    originals = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    frames = sample_frames(media, chunk_bytes=64).collect()
+    by_media: dict[int, list] = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
+        assert all(r["frame_len"] == 64 for r in rows[:-1])
+        joined = b"".join(bytes(r["frame"]) for r in rows)
+        assert joined == originals[mid]
+    # empty payloads emit zero frames
+    empties = [m for m, p in originals.items() if len(p) == 0]
+    for m in empties:
+        assert m not in by_media
