@@ -309,8 +309,10 @@ def main() -> None:
         "extract_docs", "q1_pricing_summary", "revenue_by_nation",
         "topk_events_per_user", "sessionize", "events_hourly_rollup",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_simhash", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-        "emb_neardup", "quality_score", "fingerprint", "mm_media_meta",
+        "dedup_simhash", "dedup_components", "ann_cosine_topk",
+        "ann_lsh_topk", "ann_ivf_topk", "emb_neardup", "quality_score",
+        "fingerprint", "winnow_fingerprint", "token_count_bpe",
+        "doc_length_percentiles", "mm_media_meta", "mm_frame_sample",
     ]
     qs = entrymod.queries()
     ann_results: dict[str, set] = {}
