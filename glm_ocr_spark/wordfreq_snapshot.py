@@ -83,20 +83,30 @@ def _load() -> dict[str, float]:
     global _ZIPF
     if _ZIPF is None:
         table = dict(_ZIPF_V1)
+        text = None
+        # importlib.resources reads through zipimport too, so a --py-files
+        # zip deployment sees the same table as a directory install (a
+        # plain open() would silently fall back inside a zip)
         try:
-            # ship the data file with the package (zip -r includes it for
-            # --py-files); if a deployment strips non-.py resources we fall
-            # back to the v1 overlay rather than failing the executor
-            with open(_DATA_PATH, encoding="utf-8") as f:
-                for line in f:
-                    if line.startswith("#"):
-                        continue
-                    w, z = line.split()
-                    zf = float(z)
-                    if table.get(w, 0.0) < zf:
-                        table[w] = zf
-        except OSError:
-            pass
+            from importlib import resources
+
+            text = (resources.files("glm_ocr_spark")
+                    .joinpath("wordfreq_snapshot_data.txt")
+                    .read_text(encoding="utf-8"))
+        except Exception:  # noqa: BLE001
+            try:
+                with open(_DATA_PATH, encoding="utf-8") as f:
+                    text = f.read()
+            except OSError:
+                pass
+        if text is not None:
+            for line in text.splitlines():
+                if line.startswith("#") or not line.strip():
+                    continue
+                w, z = line.split()
+                zf = float(z)
+                if table.get(w, 0.0) < zf:
+                    table[w] = zf
         _ZIPF = table
     return _ZIPF
 
