@@ -26,7 +26,8 @@ from glm_ocr_spark.state import run_with_checkpoint
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output", default=None,
+                    help="required unless --snapshot-catalog is used")
     ap.add_argument("--state", default=None)
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--snapshot", default="v1")
@@ -34,13 +35,28 @@ def main() -> None:
     ap.add_argument("--config", default=None, help="extraction YAML")
     ap.add_argument("--mode", default=None, choices=["layout", "ocr_only"])
     ap.add_argument("--score-threshold", type=float, default=None)
+    ap.add_argument("--snapshot-catalog", default=None,
+                    help="use Iceberg-protocol atomic snapshot commits "
+                         "(snapshot.py) instead of --output/--state")
     args = ap.parse_args()
+    if not args.snapshot_catalog and not args.output:
+        ap.error("--output is required unless --snapshot-catalog is used")
 
     cfg, job = load_config(config_path=args.config, mode=args.mode,
                            score_threshold=args.score_threshold)
 
     spark = get_spark(app="glm-ocr-extract")
-    if args.state:
+    if args.snapshot_catalog:
+        from glm_ocr_spark.snapshot import run_with_snapshots
+
+        df = spark.read.format(args.format).load(args.input)
+        metrics = run_with_snapshots(
+            spark, df, args.snapshot_catalog,
+            n_buckets=args.buckets, input_snapshot=args.snapshot,
+            mode=job["mode"], config=cfg,
+        )
+        print(f"extract_job: {metrics}")
+    elif args.state:
         df = spark.read.format(args.format).load(args.input)
         metrics = run_with_checkpoint(
             spark, df, args.output, args.state,
