@@ -168,11 +168,12 @@ def scaling_runs(input_path: str) -> dict:
         out[f"hw_capacity_{n}"] = round(c, 2)
     best: dict[int, float] = {}
     rows_seen = 0
-    # three interleaved rounds per level, best kept: single JVM samples are
+    # interleaved rounds per level, best kept: single JVM samples are
     # noisy on a shared box (co-tenant load windows skew whole levels —
-    # observed raw 4->16 readings from 0.78 to 0.98 across sweeps), and
-    # interleaving decorrelates a level from any one noisy window
-    for cores in (4, 16, 8, 32, 16, 4, 32, 8, 4, 16, 8, 32):
+    # observed raw 4->16 readings from 0.78 to 0.99 across sweeps), and
+    # interleaving decorrelates a level from any one noisy window. The
+    # headline 4/16 pair gets three rounds, the secondary 8/32 two.
+    for cores in (4, 16, 8, 32, 16, 4, 32, 8, 4, 16):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--extract-only",
              "--master", f"local[{cores}]", "--input", input_path],
