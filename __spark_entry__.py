@@ -387,6 +387,29 @@ def q_revenue_by_nation(spark, sf_dir):
     )
 
 
+def q_q3_shipping_priority(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import q3_shipping_priority
+
+    return q3_shipping_priority(
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_q5_local_supplier_volume(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import q5_local_supplier_volume
+
+    return q5_local_supplier_volume(
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "supplier"),
+        _table(spark, sf_dir, "nation"),
+        _table(spark, sf_dir, "region"),
+    )
+
+
 def q_topk_events_per_user(spark, sf_dir):
     from glm_ocr_spark.operators.relational import topk_events_per_user
 
@@ -462,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "segment_revenue": q_segment_revenue,
         "revenue_by_nation": q_revenue_by_nation,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "topk_events_per_user": q_topk_events_per_user,
         "sessionize": q_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -909,6 +934,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1 ORDER BY revenue DESC
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+              AND l_shipdate > TIMESTAMP '1996-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY n_name
         """,
         "topk_events_per_user": """
             WITH r AS (

@@ -201,3 +201,63 @@ def events_hourly_rollup(events: DataFrame) -> DataFrame:
              F.round(F.sum("value"), 4).alias("total_value"))
         .orderBy("hour", "event_type")
     )
+
+
+def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, segment: str = "BUILDING",
+                         cutoff: str = "1996-01-01") -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered both sides of the date cutoff,
+    grouped revenue, top 10.
+
+    Plan shape at scale: customer is the small dim (broadcast); orders and
+    lineitem join on orderkey (the one big shuffle); partial aggregation
+    map-side; TakeOrderedAndProject for the top-10 (each partition keeps 10
+    rows). Filters push to the parquet scans. Deterministic tiebreak on
+    l_orderkey so LIMIT is stable across engines.
+    """
+    return (
+        customer.filter(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit(cutoff))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit(cutoff))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q5_local_supplier_volume(customer: DataFrame, orders: DataFrame,
+                             lineitem: DataFrame, supplier: DataFrame,
+                             nation: DataFrame, region: DataFrame,
+                             region_name: str = "ASIA",
+                             year_start: str = "1995-01-01",
+                             year_end: str = "1996-01-01") -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with the local-supplier condition
+    (customer and supplier share a nation), revenue per nation.
+
+    Dims (supplier/nation/region/customer) broadcast; lineitem never
+    re-shuffles beyond the orderkey join; region/nation filters prune
+    before the fact join.
+    """
+    return (
+        customer
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter((F.col("o_orderdate") >= F.lit(year_start))
+                & (F.col("o_orderdate") < F.lit(year_end)))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region),
+              (F.col("n_regionkey") == F.col("r_regionkey"))
+              & (F.col("r_name") == region_name))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select("n_name", "revenue")
+    )
