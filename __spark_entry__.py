@@ -439,6 +439,12 @@ def q_doc_length_percentiles(spark, sf_dir):
     )
 
 
+def q_moving_value_avg(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import moving_value_avg
+
+    return moving_value_avg(_events(spark, sf_dir), window_seconds=3600)
+
+
 def q_events_hourly_rollup(spark, sf_dir):
     from glm_ocr_spark.operators.relational import events_hourly_rollup
 
@@ -490,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events_per_user": q_topk_events_per_user,
         "sessionize": q_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "moving_value_avg": q_moving_value_avg,
         "doc_length_percentiles": q_doc_length_percentiles,
     }
 
@@ -992,6 +999,17 @@ def oracle_sql() -> dict[str, str]:
                                         ROWS UNBOUNDED PRECEDING))::BIGINT
                      AS session_id
             FROM f
+        """,
+        # floor(epoch) matches Spark's unix_timestamp second-truncation, so
+        # sub-second-apart events are RANGE peers on both engines
+        "moving_value_avg": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER w, 6) AS trailing_avg,
+                   count(*) OVER w AS n_in_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         """,
         "events_hourly_rollup": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -261,3 +261,25 @@ def q5_local_supplier_volume(customer: DataFrame, orders: DataFrame,
                            * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .select("n_name", "revenue")
     )
+
+
+def moving_value_avg(events: DataFrame,
+                     window_seconds: int = 3600) -> DataFrame:
+    """Trailing-window moving average per user: RANGE frame over event time
+    (all events within the past `window_seconds`, inclusive), the
+    interval-window shape ROWS frames can't express.
+
+    One shuffle on user_id; the frame scan is sorted-run-local within each
+    partition. Ties on ts are handled identically on both engines because
+    RANGE frames include ALL peer rows at equal ordering value.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    return events.select(
+        "user_id", "event_id",
+        F.round(F.avg("value").over(w), 6).alias("trailing_avg"),
+        F.count("*").over(w).alias("n_in_window"),
+    )
