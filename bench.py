@@ -340,8 +340,10 @@ def main() -> None:
 
     # 2) operator queries over the testdata dir
     headline = [
-        "extract_docs", "q1_pricing_summary", "revenue_by_nation",
-        "topk_events_per_user", "sessionize", "events_hourly_rollup",
+        "extract_docs", "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "revenue_by_nation",
+        "topk_events_per_user", "sessionize", "moving_value_avg",
+        "events_hourly_rollup",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_components", "ann_cosine_topk",
         "ann_lsh_topk", "ann_ivf_topk", "emb_neardup", "quality_score",
