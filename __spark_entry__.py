@@ -5,8 +5,9 @@
 - ``queries()``: one entry per implemented operator slice (SURVEY.md §2 +
   the training-data operator family).
 - ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query.
-  Omitted (rows-only check) for ops whose hash families/UDF internals are
-  not expressible in ANSI SQL: minhash LSH, simhash, hyperplane-LSH ANN.
+  Omitted (rows-only check) only for the two approximate-by-construction
+  ANN paths (hyperplane-LSH / IVF top-k), whose recall the bench measures
+  against the exact ``ann_cosine_topk`` instead.
 
 Column names are aliased identically on both sides (driver hashes values
 under sorted column names).
@@ -213,6 +214,10 @@ def q_dedup_keep_first(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    # Pigeonhole candidate generation is *complete* (a pair within Hamming
+    # radius r must agree on one of r+1 blocks) and the Hamming filter is
+    # exact, so the output equals the full-value all-pairs ground truth —
+    # the md5-based token hash makes that ground truth DuckDB-computable.
     from glm_ocr_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=7)
@@ -814,6 +819,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang, n_chars FROM documents
             WHERE doc_id NOT IN
               (SELECT node FROM comp WHERE component_id != node)
+        """,
+        # full simhash ground truth: md5-first-16-hex token hash (identical
+        # to the Python kernel's, bit-for-bit), 64 majority votes via a
+        # words x bits cross join, uint64 -> int64 wraparound to match
+        # Spark's LongType, then exact all-pairs Hamming <= 7. The Spark
+        # side's pigeonhole block join is complete within the radius, so
+        # set equality holds (not just recall). Tokenization: corpus text
+        # is single-space-separated (TESTDATA.md), where Python split()
+        # == regex '\\s+' split.
+        "dedup_simhash": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x != '')) AS w
+              FROM documents),
+            votes AS (
+              SELECT doc_id, b.range AS bit,
+                     SUM(CASE WHEN (('0x' || substr(md5(w), 1, 16))::UBIGINT
+                                    >> b.range) & 1 = 1
+                         THEN 1 ELSE -1 END) AS acc
+              FROM words, range(0, 64) b
+              GROUP BY 1, 2),
+            fp_u AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN acc > 0
+                         THEN (1::UBIGINT << bit)::HUGEINT ELSE 0 END) AS u
+              FROM votes GROUP BY doc_id),
+            fps AS (
+              SELECT d.doc_id,
+                     COALESCE((CASE WHEN u >= 9223372036854775808
+                                    THEN u - 18446744073709551616
+                                    ELSE u END)::BIGINT, 0) AS fp
+              FROM documents d LEFT JOIN fp_u USING (doc_id))
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   bit_count(xor(a.fp, b.fp)) AS hamming
+            FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 7
         """,
         # brute-force all-pairs cosine: ground truth for the LSH+verify path
         # (recall ~1 at the shipped band parameters; exact verify -> equality)

@@ -18,8 +18,10 @@ Five strategies, scale-ordered:
   embedding_neardup_pairs — cosine >= threshold over an embedding column
                        (see operators.similarity for the ANN machinery).
 
-Determinism: all hash families are fixed-parameter (crc32/xxhash64-based),
-so resume/retry recompute identical results.
+Determinism: all hash families are fixed-parameter (md5/crc32/xxhash64-
+based), so resume/retry recompute identical results. SimHash's token hash
+is md5-first-16-hex specifically so the full pipeline is DuckDB-oracle
+checkable (see `simhash64_scalar`).
 """
 
 from __future__ import annotations
@@ -66,16 +68,19 @@ _WS_RE = None
 
 
 def shingles_py(text: str, n: int = 3) -> list[str]:
-    """Python mirror of `shingles_col` (byte-equal on the corpus — tested):
-    trim, collapse ASCII whitespace, lower, word n-grams, first-occurrence
-    distinct; < n words -> single whole-text shingle."""
+    """Python mirror of `shingles_col` (byte-equal — tested incl. leading/
+    trailing tab/newline/unicode whitespace): trim *spaces only* (JVM/DuckDB
+    `trim` strips 0x20, not \\t/\\n — so a leading tab survives trim,
+    collapses to ' ', and yields an empty leading token exactly as the JVM
+    side does), collapse ASCII whitespace, lower, word n-grams,
+    first-occurrence distinct; < n words -> single whole-text shingle."""
     global _WS_RE
     if _WS_RE is None:
         import re
 
         # Java \s is ASCII-only; match it (re.ASCII)
         _WS_RE = re.compile(r"\s+", re.ASCII)
-    norm = _WS_RE.sub(" ", text.strip()).lower() if text else ""
+    norm = _WS_RE.sub(" ", text.strip(" ")).lower() if text else ""
     words = norm.split(" ") if norm else [""]
     if len(words) < n:
         return [norm]
@@ -362,17 +367,21 @@ def simhash64_scalar(t: str) -> int:
     """Reference scalar SimHash (one doc) — the spec the vectorized kernel
     must match bit-for-bit; kept for tests and tiny inputs.
 
-    Token hash: two crc32 variants concatenated to 64 bits; bitwise
-    majority vote weighted +1/-1.
+    Token hash: the first 16 hex chars of md5 read as a uint64 — chosen
+    (over the round-1/2 crc32 pair) because it is *SQL-computable*:
+    DuckDB's ``('0x' || substr(md5(w), 1, 16))::UBIGINT`` produces the
+    identical value, which makes the whole simhash pipeline (fingerprint →
+    pigeonhole block join → Hamming verify) ground-truth checkable by a
+    full-value SQL oracle. Same trick `winnow_py` uses for winnowing.
+    Bitwise majority vote weighted +1/-1.
     """
-    import zlib
+    import hashlib
 
     if not t:
         return 0
     acc = [0] * 64
     for w in t.lower().split():
-        wb = w.encode("utf-8")
-        h = (zlib.crc32(wb) << 32) | zlib.crc32(wb[::-1] + b"#")
+        h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
         for bit in range(64):
             acc[bit] += 1 if (h >> bit) & 1 else -1
     fp = 0
@@ -387,12 +396,13 @@ def simhash64(text: pd.Series) -> pd.Series:
     """64-bit SimHash over word tokens, numpy-vectorized per Arrow batch.
 
     Same fingerprints as `simhash64_scalar` (regression-tested): token
-    hashes are gathered into a uint64 array (memoized per batch — word
+    hashes (md5 first-16-hex as uint64 — SQL-computable, see the scalar's
+    docstring) are gathered into a uint64 array (memoized per batch — word
     reuse is high in natural text), the 64 majority votes are one
     bit-matrix sum (`(hs >> bitpos) & 1`), and the fingerprint is a
     masked power-of-two sum. Replaces round 1's per-word 64-iteration
     Python loop (~10-100x)."""
-    import zlib
+    import hashlib
 
     bitpos = np.arange(64, dtype=np.uint64)
     pow2 = np.uint64(1) << bitpos
@@ -408,8 +418,7 @@ def simhash64(text: pd.Series) -> pd.Series:
         for i, w in enumerate(words):
             h = cache.get(w)
             if h is None:
-                wb = w.encode("utf-8")
-                h = (zlib.crc32(wb) << 32) | zlib.crc32(wb[::-1] + b"#")
+                h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
                 cache[w] = h
             hs[i] = h
         # acc[bit] = (#set) - (#unset) = 2*(#set) - n_words

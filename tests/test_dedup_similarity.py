@@ -69,7 +69,16 @@ def test_shingles_py_matches_jvm_column(spark):
     adversarial = ["", " ", "one", "one two", "one two three",
                    "a  b\tc\nd e", "  padded   text here  ",
                    "Mixed CASE Words repeat repeat repeat words words",
-                   "x " * 50]
+                   "x " * 50,
+                   # JVM/DuckDB trim strips spaces only: a leading tab /
+                   # newline survives trim, collapses to ' ', and produces
+                   # an empty leading token — the Python mirror must too
+                   # (round-2 advice: str.strip() stripped ALL whitespace)
+                   "\tleading tab word soup here",
+                   "trailing newline word soup here\n",
+                   "\n\t mixed edge whitespace one two three \t\n",
+                   " nbsp is not java whitespace one two",
+                   "\t", "\n\n"]
     docs = spark.read.parquet(f"{SF1}/documents.parquet").select("text")
     texts = [r["text"] for r in docs.collect()] + adversarial
     df = spark.createDataFrame([(t,) for t in texts], "text string")
