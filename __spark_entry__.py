@@ -245,7 +245,8 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     # approximate by construction (no SQL oracle); the bench reports
-    # recall@10 vs ann_cosine_topk — ~0.9 at nprobe/n_cells = 0.25
+    # recall@10 vs ann_cosine_topk — 0.8 at 128 cells / nprobe 32 (~25%
+    # scan), floor-tested on the same corpus + query the bench measures
     from glm_ocr_spark.operators.similarity import ivf_topk
 
     emb = _table(spark, sf_dir, "embeddings")

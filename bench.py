@@ -282,9 +282,11 @@ def write_bench_md(result: dict) -> None:
             "| --- | --- |",
         ] + [f"| {k} | {v} |" for k, v in sorted(ann.items())] + [
             "",
-            "`ann_ivf_topk` (IVF, 64 cells, probe 16, ~25% scanned) is the "
-            "recommended approximate path; sign-LSH recall is inherently "
-            "poor on this corpus (nearest neighbors sit at cos ~0.3).",
+            "`ann_ivf_topk` (IVF, 128 cells, nprobe 32, ~25% scanned) is "
+            "the recommended approximate path; `ann_lsh_topk` uses "
+            "margin-ordered multi-probe (96 of 256 buckets, ~38% scanned) "
+            "— sign-LSH recall is inherently limited on this corpus "
+            "(nearest neighbors sit at cos ~0.3).",
         ]
     lines += [
         "",

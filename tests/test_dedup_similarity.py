@@ -220,10 +220,13 @@ def test_emb_neardup_empty_when_no_pairs(spark):
     assert embedding_neardup_pairs(emb, threshold=0.5).count() == 0
 
 
-def _ann_recall(spark, approx_fn):
+def _ann_recall(spark, approx_fn, sf_dir="/root/testdata/sf0.1"):
+    """Recall@10 on the SAME corpus + query the bench measures (sf0.1,
+    query = vec_id 0) — round-2 advice: a floor calibrated to a corpus
+    where it passes while the bench fails elsewhere is no floor at all."""
     from glm_ocr_spark.operators.similarity import cosine_topk
 
-    emb = spark.read.parquet(f"{SF2}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     row = emb.filter("vec_id = 0").select("embedding").head()
     q = [float(v) for v in row["embedding"]]
     exact = {r.vec_id for r in cosine_topk(emb, q, k=10, exclude_id=0).collect()}
@@ -232,23 +235,24 @@ def _ann_recall(spark, approx_fn):
 
 
 def test_ann_lsh_recall_floor(spark):
-    """Sign-LSH recall is poor on this data (nearest neighbors sit at
-    cos ~0.3, where per-plane agreement is only ~0.6) — the floor documents
-    the honest trade; ivf_topk is the recommended approximate path."""
+    """Margin-ordered multi-probe (96 of 256 buckets) measures 0.6 on the
+    bench corpus/query — floored at 0.5. Sign-LSH stays the weaker path on
+    this data (neighbors at cos ~0.3, per-plane agreement ~0.6); ivf_topk
+    is the recommended approximate path."""
     from glm_ocr_spark.operators.similarity import lsh_bucketed_topk
 
     recall = _ann_recall(spark, lambda emb, q: lsh_bucketed_topk(emb, q, k=10))
-    assert recall >= 0.2, recall
+    assert recall >= 0.5, recall
 
 
 def test_ann_ivf_recall_floor(spark):
-    """IVF (64 cells, probe 16) reaches recall ~0.9 scanning ~25-30% of the
-    corpus — deterministic on this data, floored with slack at 0.6."""
+    """IVF (128 cells, nprobe 32, ~25% scan) measures recall 0.8 on the
+    bench corpus/query — floored at 0.7."""
     from glm_ocr_spark.operators.similarity import ivf_topk
 
     recall = _ann_recall(
         spark, lambda emb, q: ivf_topk(emb, q, k=10, exclude_id=0))
-    assert recall >= 0.6, recall
+    assert recall >= 0.7, recall
 
 
 # ------------------------------------------------------------------ winnowing
