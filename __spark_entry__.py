@@ -260,6 +260,25 @@ def q_emb_neardup(spark, sf_dir):
     return embedding_neardup_pairs(emb, threshold=0.5)
 
 
+def q_emb_neardup_strict(spark, sf_dir):
+    """The production near-dup regime: t=0.9 with `neardup_params(0.9)`
+    band parameters (32 bands x 12 planes, 4096 buckets/band) — candidates
+    prune to <5% of all pairs (vs ~87% in the weak t=0.5 demo; measured as
+    `neardup_candidate_ratio` in BENCH.md), same brute-force oracle.
+    Planted-pair recall at t=0.9 is unit-tested (test_dedup_similarity) —
+    the driver corpus has no >= 0.9 pairs, so this row's value-equality
+    evidences pruning + no false positives."""
+    from glm_ocr_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        neardup_params,
+    )
+
+    bands, planes = neardup_params(0.9)
+    emb = _table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.9, bands=bands,
+                                   planes_per_band=planes)
+
+
 def q_mm_media_meta(spark, sf_dir):
     from glm_ocr_spark.operators.multimodal import (
         docs_as_media,
@@ -485,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup": q_emb_neardup,
+        "emb_neardup_strict": q_emb_neardup_strict,
         "mm_media_meta": q_mm_media_meta,
         "mm_frame_sample": q_mm_frame_sample,
         "asof_view_before_purchase": q_asof_view_before_purchase,
@@ -876,6 +896,26 @@ def oracle_sql() -> dict[str, str]:
                                            a.embedding::DOUBLE[]))
                      * sqrt(list_dot_product(b.embedding::DOUBLE[],
                                              b.embedding::DOUBLE[]))) >= 0.5
+        """,
+        # same brute-force ground truth at the production threshold: the
+        # corpus has no >= 0.9 pairs, so equality here proves the strict
+        # regime emits no false positives (planted-pair recall is
+        # unit-tested; pruning is measured in BENCH.md)
+        "emb_neardup_strict": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_dot_product(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                                  a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                    b.embedding::DOUBLE[]))),
+                         6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                           a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]))) >= 0.9
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

@@ -288,6 +288,22 @@ def write_bench_md(result: dict) -> None:
             "— sign-LSH recall is inherently limited on this corpus "
             "(nearest neighbors sit at cos ~0.3).",
         ]
+    ncr = result.get("neardup_candidate_ratio") or {}
+    if ncr:
+        lines += [
+            "",
+            "## Near-dup LSH candidate-pair ratio (candidates / all pairs)",
+            "",
+            "| regime | ratio |",
+            "| --- | --- |",
+        ] + [f"| {k} | {v} |" for k, v in sorted(ncr.items())] + [
+            "",
+            "The weak t=0.5 demo regime barely prunes by nature (weak "
+            "cosine similarity gives weak LSH locality); the production "
+            "t=0.9 regime (`neardup_params(0.9)` -> 32 bands x 12 planes, "
+            "4096 buckets/band) is the 100 TB shape — candidates a few "
+            "percent of all pairs, planted-pair recall unit-tested.",
+        ]
     lines += [
         "",
         "## Per-query seconds (local[%d], %s)" % (
@@ -348,7 +364,8 @@ def main() -> None:
         "events_hourly_rollup",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_components", "ann_cosine_topk",
-        "ann_lsh_topk", "ann_ivf_topk", "emb_neardup", "quality_score",
+        "ann_lsh_topk", "ann_ivf_topk", "emb_neardup", "emb_neardup_strict",
+        "quality_score",
         "fingerprint", "winnow_fingerprint", "token_count_bpe",
         "doc_length_percentiles", "mm_media_meta", "mm_frame_sample",
     ]
@@ -370,6 +387,24 @@ def main() -> None:
         for name, ids in ann_results.items() if name != "ann_cosine_topk"
     }
 
+    # candidate-pair ratio of the two near-dup LSH regimes: the number that
+    # decides whether a threshold regime prunes (scale-viable) or degenerates
+    # to all-pairs. Weak demo (t=0.5, 16x3) vs production (t=0.9, 32x12).
+    from glm_ocr_spark.operators.similarity import (
+        neardup_band_candidates,
+        neardup_params,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.count()
+    all_pairs = n_vec * (n_vec - 1) // 2
+    sb, sp = neardup_params(0.9)
+    neardup_candidate_ratio = {
+        "weak_t05_16x3": round(
+            neardup_band_candidates(emb).count() / all_pairs, 4),
+        "strict_t09_%dx%d" % (sb, sp): round(
+            neardup_band_candidates(emb, sb, sp).count() / all_pairs, 4),
+    }
+
     spark.stop()
 
     scaling = None
@@ -388,6 +423,7 @@ def main() -> None:
         "extract_rows": n_rows,
         "turns_per_sec": round(turns_per_sec, 1),
         "ann_recall_at_10": ann_recall,
+        "neardup_candidate_ratio": neardup_candidate_ratio,
         # shuffle-bytes evidence for the north rule: everything written to
         # shuffle across the extraction passes is the count() partial
         # aggregation (a few KB); payloads never cross the wire

@@ -295,6 +295,30 @@ def neardup_params(threshold: float, target_miss: float = 0.005,
     return max_bands, 1
 
 
+def neardup_band_candidates(emb: DataFrame,
+                            bands: int = NEARDUP_BANDS,
+                            planes_per_band: int = NEARDUP_PLANES_PER_BAND,
+                            ) -> DataFrame:
+    """Distinct candidate (id1, id2) pairs from the multi-band hyperplane
+    LSH join. Exposed separately so the bench can report the candidate-pair
+    ratio — the number that decides whether a threshold regime prunes or
+    degenerates to all-pairs at scale."""
+    buckets = band_buckets_udf(bands, planes_per_band)
+    entries = emb.select(
+        "vec_id",
+        F.posexplode(buckets(F.col("embedding"))).alias("band_idx", "bucket"),
+    )
+    a = entries.alias("a")
+    b = entries.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.5,
                             bands: int = NEARDUP_BANDS,
                             planes_per_band: int = NEARDUP_PLANES_PER_BAND,
@@ -307,21 +331,15 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.5,
     vectors themselves never ride through the band join (candidates are
     (id1, id2) only, joined back to the embedding table for the verify).
     Recall is tunable: miss prob per pair = (1 - (1-θ/π)^P)^B.
+
+    Regimes: the default (16 bands x 3 planes) targets weak thresholds
+    (t=0.5) where LSH prunes little by nature (~87% of pairs stay
+    candidates on this corpus). For production near-dup use
+    `neardup_params(t)` — e.g. t=0.9 -> (32 bands x 12 planes, 4096
+    buckets/band), which prunes candidates to <5% of all pairs (measured
+    in BENCH.md as `neardup_candidate_ratio`).
     """
-    buckets = band_buckets_udf(bands, planes_per_band)
-    entries = emb.select(
-        "vec_id",
-        F.posexplode(buckets(F.col("embedding"))).alias("band_idx", "bucket"),
-    )
-    a = entries.alias("a")
-    b = entries.alias("b")
-    cands = (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
-        .dropDuplicates(["id1", "id2"])
-    )
+    cands = neardup_band_candidates(emb, bands, planes_per_band)
     e1 = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("emb1"))
     e2 = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("emb2"))
     sim = _dot(F.col("emb1"), F.col("emb2")) / (

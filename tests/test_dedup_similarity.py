@@ -220,6 +220,55 @@ def test_emb_neardup_empty_when_no_pairs(spark):
     assert embedding_neardup_pairs(emb, threshold=0.5).count() == 0
 
 
+def test_emb_neardup_strict_finds_planted_pairs(spark):
+    """The production regime (t=0.9, neardup_params(0.9) = 32 bands x 12
+    planes): plant perturbed near-copies at cos ~0.95 among noise vectors;
+    the LSH+verify output must equal the brute-force >= 0.9 pair set
+    exactly — recall 1 on every planted pair, no false positives. (The
+    driver corpus has no >= 0.9 pairs, so this is where strict-regime
+    recall is actually evidenced.)"""
+    from glm_ocr_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        neardup_params,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    base = rng.randn(40, dim)
+    vecs, truth = [], set()
+    vid = 0
+    for i in range(40):
+        v = base[i] / np.linalg.norm(base[i])
+        vecs.append((vid, v))
+        if i < 15:  # plant a near-copy: small perturbation, cos ~0.95+
+            p = v + 0.20 * rng.randn(dim) / np.sqrt(dim)
+            vecs.append((vid + 1, p / np.linalg.norm(p)))
+            vid += 1
+        vid += 1
+    # brute-force ground truth
+    ids = [i for i, _ in vecs]
+    m = np.stack([v for _, v in vecs])
+    sims = m @ m.T
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if sims[a, b] >= 0.9:
+                truth.add((min(ids[a], ids[b]), max(ids[a], ids[b])))
+    assert len(truth) >= 10  # the plant worked
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>")
+    bands, planes = neardup_params(0.9)
+    assert (bands, planes) == (32, 12)
+    got = {(r.id1, r.id2)
+           for r in embedding_neardup_pairs(
+               emb, threshold=0.9, bands=bands,
+               planes_per_band=planes).collect()}
+    # float32 storage vs float64 truth can flip pairs sitting exactly at
+    # the threshold; the plant keeps pairs clear of 0.9 so equality holds
+    assert got == truth
+
+
 def _ann_recall(spark, approx_fn, sf_dir="/root/testdata/sf0.1"):
     """Recall@10 on the SAME corpus + query the bench measures (sf0.1,
     query = vec_id 0) — round-2 advice: a floor calibrated to a corpus
