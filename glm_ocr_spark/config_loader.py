@@ -58,17 +58,37 @@ def _coerce_bool(v: str) -> bool:
     return v.strip().lower() in ("1", "true", "yes", "on")
 
 
+_UNCLIP_FORMS = "accepted forms: 'w,h', [w, h], or {cls: [w, h]}"
+
+
 def _coerce_unclip(v: Any):
-    """Accept '1.2,1.1', [1.2, 1.1], or {cls: [w, h]}."""
+    """Accept 'w,h', [w, h], or {cls: [w, h]}; raise ValueError naming the
+    offending value for anything else — this parses user-supplied env vars
+    and YAML, where a malformed value must produce a clear error, not an
+    IndexError/TypeError traceback (round-2 advice)."""
     if v is None:
         return None
-    if isinstance(v, str):
-        parts = [float(x) for x in v.split(",")]
+    try:
+        if isinstance(v, str):
+            parts = [float(x) for x in v.split(",")]
+        elif isinstance(v, dict):
+            out = {}
+            for k, p in v.items():
+                pair = list(p) if not isinstance(p, (str, bytes)) else None
+                if pair is None or len(pair) != 2:
+                    raise ValueError
+                out[int(k)] = (float(pair[0]), float(pair[1]))
+            return out
+        elif isinstance(v, (int, float)):
+            raise ValueError
+        else:
+            parts = [float(x) for x in v]
+        if len(parts) != 2:
+            raise ValueError
         return (parts[0], parts[1])
-    if isinstance(v, dict):
-        return {int(k): (float(p[0]), float(p[1])) for k, p in v.items()}
-    seq = list(v)
-    return (float(seq[0]), float(seq[1]))
+    except (ValueError, TypeError):
+        raise ValueError(
+            f"invalid unclip_ratio {v!r}; {_UNCLIP_FORMS}") from None
 
 
 def load_config(config_path: str | None = None,

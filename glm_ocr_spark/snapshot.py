@@ -137,11 +137,29 @@ class SnapshotStore:
 
     def read_output(self, spark: SparkSession,
                     snapshot_id: int | None = None) -> DataFrame:
-        """The committed output table as of a snapshot (time travel)."""
+        """The committed output table as of a snapshot (time travel).
+
+        The `bucket` partition column is preserved (round-2 advice: plain
+        leaf-file reads silently dropped it, diverging from the
+        run_with_checkpoint output schema): committed files are grouped by
+        their staging dir and each group is read with that dir as
+        `basePath`, so Spark re-infers bucket=N from the file paths. One
+        read per commit batch (manifest-bounded), unioned by name —
+        exactly the manifest's file list, never a directory listing."""
         files = self.output_files(snapshot_id)
         if not files:
             raise ValueError("no committed snapshot")
-        return spark.read.parquet(*files)
+        groups: dict[str, list[str]] = {}
+        for p in files:
+            # .../data/<staging>/bucket=N/part-*.parquet
+            staging = os.path.dirname(os.path.dirname(p))
+            groups.setdefault(staging, []).append(p)
+        df = None
+        for staging in sorted(groups):
+            part = (spark.read.option("basePath", staging)
+                    .parquet(*sorted(groups[staging])))
+            df = part if df is None else df.unionByName(part)
+        return df
 
     # ------------------------------------------------------------ expiry
 

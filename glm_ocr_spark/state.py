@@ -68,7 +68,7 @@ def read_completed_buckets(spark: SparkSession, state_path: str,
 def append_state(spark: SparkSession, state_path: str, bucket: int,
                  rows_out: int, bytes_out: int, input_snapshot: str) -> None:
     row = [(bucket, "completed", rows_out, bytes_out, input_snapshot,
-            dt.datetime.utcnow())]
+            dt.datetime.now(dt.timezone.utc))]
     spark.createDataFrame(row, STATE_SCHEMA).write.mode("append").parquet(
         state_path
     )
@@ -148,19 +148,30 @@ def run_with_checkpoint(
 
 def _partition_stats(output_path: str, bucket: int) -> tuple[int, int]:
     """(rows, bytes) for one written bucket partition — rows from parquet
-    footers (metadata pages only), bytes from file sizes; no data re-scan."""
-    import pyarrow.parquet as pq
+    footers (metadata pages only), bytes from file listing sizes; no data
+    re-scan.
 
-    part_dir = os.path.join(output_path, f"bucket={bucket}")
+    Goes through `pyarrow.fs` (FileSystem.from_uri), not os.walk, so the
+    same code runs against s3://, hdfs://, gs:// and local paths — the
+    actual 100 TB deployment writes to object storage, and round 2's
+    POSIX-only walk was the one piece of the resume path that could not
+    run off-box."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    if "://" in output_path:
+        fs, base = pafs.FileSystem.from_uri(output_path)
+    else:
+        fs, base = pafs.LocalFileSystem(), os.path.abspath(output_path)
+    part_dir = f"{base.rstrip('/')}/bucket={bucket}"
+    sel = pafs.FileSelector(part_dir, recursive=True, allow_not_found=True)
     rows = 0
     total = 0
-    for root, _dirs, files in os.walk(part_dir):
-        for f in files:
-            p = os.path.join(root, f)
-            if f.endswith(".parquet"):
-                rows += pq.ParquetFile(p).metadata.num_rows
-            try:
-                total += os.path.getsize(p)
-            except OSError:
-                pass
+    for info in fs.get_file_info(sel):
+        if info.type != pafs.FileType.File:
+            continue
+        total += info.size or 0
+        if info.path.endswith(".parquet"):
+            with fs.open_input_file(info.path) as f:
+                rows += pq.ParquetFile(f).metadata.num_rows
     return rows, total

@@ -89,3 +89,23 @@ def test_per_class_unclip_forms(tmp_path):
     cfg2, _ = load_config(dotenv_path=str(tmp_path / "none.env"),
                           env={"GLMOCR_SPARK_UNCLIP_RATIO": "1.5,1.25"})
     assert cfg2.unclip_ratio == (1.5, 1.25)
+
+
+def test_malformed_unclip_raises_clear_error(tmp_path):
+    """Malformed user-supplied unclip values must raise ValueError naming
+    the offending value and the accepted forms, never IndexError/TypeError
+    (round-2 advice)."""
+    import pytest
+
+    from glm_ocr_spark.config_loader import load_config
+
+    for bad in ("1.2", "a,b", "1,2,3"):
+        with pytest.raises(ValueError, match="unclip_ratio"):
+            load_config(env={"GLMOCR_SPARK_UNCLIP_RATIO": bad})
+    y = tmp_path / "bad.yaml"
+    y.write_text("extract:\n  unclip_ratio: 1.2\n")
+    with pytest.raises(ValueError, match="accepted forms"):
+        load_config(config_path=str(y))
+    y.write_text("extract:\n  unclip_ratio: {22: [2.0]}\n")
+    with pytest.raises(ValueError, match="unclip_ratio"):
+        load_config(config_path=str(y))

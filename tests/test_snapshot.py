@@ -34,7 +34,13 @@ def test_full_run_and_state(spark, small_transcripts, tmp_path):
     assert m["processed_buckets"] == N_BUCKETS
     assert m["commits"] == 1
     store = SnapshotStore(root)
-    assert store.read_output(spark).count() == small_transcripts.count()
+    out = store.read_output(spark)
+    assert out.count() == small_transcripts.count()
+    # the bucket partition column must survive the snapshot read path —
+    # consumers switching between run_with_checkpoint output and the
+    # snapshot path must see the same schema (round-2 advice)
+    assert "bucket" in out.columns
+    assert out.select("bucket").distinct().count() == N_BUCKETS
     state = store.state_rows()
     assert len(state) == N_BUCKETS
     assert sum(r["rows_out"] for r in state) == small_transcripts.count()
