@@ -447,11 +447,32 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_events(spark, sf_dir), gap_minutes=30)
 
 
+def q_doc_length_percentiles_approx(spark, sf_dir):
+    """The 100 TB shape of the percentile aggregate: `percentile_approx`
+    (Greenwald-Khanna sketch, mergeable map-side partials, bounded memory
+    per group — the exact `percentile` buffers every group value). The GK
+    sketch is EXACT while a group's row count stays under `accuracy`
+    (rank error <= n/accuracy), and it returns a dataset element, so at
+    these SFs it equals DuckDB `quantile_disc` full-value; the
+    approximate regime's rank-error bound is unit-tested separately
+    (test_functions_and_plans)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("percentile_approx(n_chars, 0.25, 10000)").alias("p25"),
+            F.expr("percentile_approx(n_chars, 0.5, 10000)").alias("p50"),
+            F.expr("percentile_approx(n_chars, 0.9, 10000)").alias("p90"),
+        )
+    )
+
+
 def q_doc_length_percentiles(spark, sf_dir):
     """Exact percentile aggregate per language (linear interpolation —
-    Spark `percentile` == DuckDB `quantile_cont`). At 100 TB swap for
-    `percentile_approx` (t-digest, mergeable map-side); the exact form is
-    the oracle-checkable baseline."""
+    Spark `percentile` == DuckDB `quantile_cont`). The exact form buffers
+    per-group values — fine at test SFs, the wrong shape at 100 TB; the
+    `_approx` twin above is the at-scale variant."""
     return (
         _docs(spark, sf_dir)
         .groupBy("lang")
@@ -524,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "moving_value_avg": q_moving_value_avg,
         "doc_length_percentiles": q_doc_length_percentiles,
+        "doc_length_percentiles_approx": q_doc_length_percentiles_approx,
     }
 
 
@@ -1107,6 +1129,18 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.25), 4) AS p25,
                    round(quantile_cont(n_chars, 0.5), 4) AS p50,
                    round(quantile_cont(n_chars, 0.9), 4) AS p90
+            FROM documents GROUP BY lang
+        """,
+        # percentile_approx's GK sketch is exact (returns the discrete
+        # quantile element) while group size < accuracy=10000 — true at
+        # every test SF, so quantile_disc is a full-value oracle here;
+        # the >accuracy regime's rank-error bound is unit-tested
+        "doc_length_percentiles_approx": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   quantile_disc(n_chars, 0.25) AS p25,
+                   quantile_disc(n_chars, 0.5) AS p50,
+                   quantile_disc(n_chars, 0.9) AS p90
             FROM documents GROUP BY lang
         """,
     }

@@ -298,14 +298,20 @@ def connected_components(pairs: DataFrame, id1: str = "id1",
     """(doc_id, component_id) for every doc in a similarity-pair graph;
     component_id = min doc_id in the component (the dedup keeper).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its label and its neighbors' labels — converges in O(graph
-    diameter) rounds, and near-dup components are tiny (pairs of a
-    document and its variants), so 2-4 rounds in practice. Each round is
-    one join + one aggregate; `localCheckpoint` truncates the growing
-    lineage so round N's plan doesn't replay rounds 1..N-1. At very large
-    graph scale the large-star/small-star variant halves rounds; the same
-    loop shape applies.
+    Min-label propagation with path halving: each round a node takes the
+    min over (its label, its neighbors' labels, its label's label — the
+    pointer jump). The jump gives the O(log diameter) round bound of the
+    large-star/small-star family (Kiveris et al.) while keeping plain
+    DataFrame joins: round 2 upgrades — a 300-node path converges in ~8
+    rounds where plain neighbor-min needed 300 (test-covered).
+
+    Per-round cost: ONE job (the eager localCheckpoint materializes the
+    two joins); the convergence check is a count on the already-
+    checkpointed result — no recompute, no extra join (round 2's check
+    re-joined new labels against old, a second shuffle per round).
+    Raises RuntimeError if max_iter exhausts while labels still move —
+    silently returning non-converged (wrong) components would make
+    dedup_keep_first retain duplicates with no signal (round-2 advice).
     """
     e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
@@ -317,27 +323,39 @@ def connected_components(pairs: DataFrame, id1: str = "id1",
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a").agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neigh, labels["node"] == neigh["a"], "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"),
                         F.coalesce(F.col("nmin"), F.col("label")))
                 .alias("label"),
             )
-            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        # path halving: label <- min(label, label(label)). Labels are
+        # always existing node ids, so the self-join resolves every row.
+        ptr = labels.select(F.col("node").alias("pnode"),
+                            F.col("label").alias("plabel"))
+        jumped = (
+            stepped.join(ptr, stepped["label"] == ptr["pnode"], "left")
+            .select(
+                "node", "old_label",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("plabel"), F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint()  # eager: the round's one materializing job
         )
-        labels = new_labels
+        changed = jumped.filter(F.col("label") < F.col("old_label")).count()
+        labels = jumped.select("node", "label")
         if changed == 0:
-            break
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("label").alias("component_id"))
+            return labels.select(F.col("node").alias("doc_id"),
+                                 F.col("label").alias("component_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"({changed} labels still moving) — raise max_iter; returning "
+        "non-converged labels would silently mislabel components")
 
 
 def dedup_components(docs: DataFrame, n: int = 3,

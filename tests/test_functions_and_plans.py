@@ -89,3 +89,25 @@ class TestPlanAudit:
         q = df.groupBy("l_returnflag").count()
         with pytest.raises(AssertionError):
             assert_no_exchange(q)
+
+
+def test_percentile_approx_rank_error_bound(spark):
+    """percentile_approx in the genuinely approximate regime (n=50000 >>
+    accuracy=100): the GK guarantee is rank error <= n/accuracy, so the
+    returned value must lie within the exact [q - 2eps, q + 2eps] quantile
+    window. This is the bound a 100 TB user sizes against; the driver
+    queries run in the exact regime (group n < accuracy)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n, accuracy = 50_000, 100
+    rng = np.random.RandomState(3)
+    vals = rng.lognormal(5.0, 1.0, n)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    eps = 1.0 / accuracy
+    for q in (0.25, 0.5, 0.9):
+        got = df.agg(
+            F.expr(f"percentile_approx(x, {q}, {accuracy})")).first()[0]
+        lo = float(np.quantile(vals, max(0.0, q - 2 * eps)))
+        hi = float(np.quantile(vals, min(1.0, q + 2 * eps)))
+        assert lo <= got <= hi, (q, got, lo, hi)
