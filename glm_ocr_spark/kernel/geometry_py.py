@@ -57,9 +57,23 @@ def nms(rows: list[tuple], iou_same: float = NMS_IOU_SAME,
         kept.append(cur)
         rest = []
         cur_row = rows[cur]
+        cc, cx1, cy1, cx2, cy2 = (cur_row[0], cur_row[2], cur_row[3],
+                                  cur_row[4], cur_row[5])
+        ca = (cx2 - cx1 + 1) * (cy2 - cy1 + 1)
         for i in order[1:]:
-            thr = iou_same if rows[i][0] == cur_row[0] else iou_diff
-            if iou(cur_row, rows[i]) < thr:
+            b = rows[i]
+            # iou() inlined (the O(n^2) hot loop); same arithmetic and
+            # division form, NaN (den==0) suppresses exactly as iou() does
+            ix1 = cx1 if cx1 > b[2] else b[2]
+            iy1 = cy1 if cy1 > b[3] else b[3]
+            ix2 = cx2 if cx2 < b[4] else b[4]
+            iy2 = cy2 if cy2 < b[5] else b[5]
+            iw = ix2 - ix1 + 1
+            ih = iy2 - iy1 + 1
+            inter = iw * ih if iw > 0 and ih > 0 else 0.0
+            den = ca + (b[4] - b[2] + 1) * (b[5] - b[3] + 1) - inter
+            if den != 0 and inter / den < (
+                    iou_same if b[0] == cc else iou_diff):
                 rest.append(i)
         order = rest
     return kept

@@ -40,6 +40,12 @@ class Block:
 _PAGE_RE = re.compile(r'<page\s+w="(\d+)"\s+h="(\d+)"\s*/>')
 _BLOCK_RE = re.compile(r"<block\s+([^>]*?)>(.*?)</block>", re.DOTALL)
 _ATTR_RE = re.compile(r'(\w+)="([^"]*)"')
+# fast path for the canonical attribute layout (label, score, bbox[, order]
+# in that order, double-quoted, no extras) — one fullmatch replaces
+# findall + dict build in the hot loop; any other layout falls back to the
+# generic parse, so semantics are unchanged (parity-fuzzed)
+_ATTRS_FAST_RE = re.compile(
+    r'label="([^"]*)" score="([^"]*)" bbox="([^"]*)"(?: order="([^"]*)")?')
 
 # plain-DOM tags -> 25-class labels
 _TAG_LABEL = {
@@ -133,20 +139,25 @@ def segment(payload: str) -> tuple[float, float, list[Block]]:
         blocks: list[Block] = []
         any_missing_order = False
         for m in annotated:
-            attrs = dict(_ATTR_RE.findall(m.group(1)))
-            label = attrs.get("label", "text")
+            fast = _ATTRS_FAST_RE.fullmatch(m.group(1))
+            if fast is not None:
+                label, score_s, bbox_s, order_s = fast.groups()
+            else:
+                attrs = dict(_ATTR_RE.findall(m.group(1)))
+                label = attrs.get("label", "text")
+                score_s = attrs.get("score", "1.0")
+                bbox_s = attrs.get("bbox", "")
+                order_s = attrs.get("order")
             if label not in LABEL2ID:
                 label = "text"
             try:
-                score = float(attrs.get("score", "1.0"))
+                score = float(score_s)
             except ValueError:  # malformed annotation: trust-nothing default
                 score = 1.0
-            bbox_s = attrs.get("bbox", "")
             try:
                 x1, y1, x2, y2 = (float(v) for v in bbox_s.split(","))
             except ValueError:
                 x1, y1, x2, y2 = 0.0, 0.0, page_w, page_h
-            order_s = attrs.get("order")
             try:
                 order = int(order_s) if order_s is not None else None
             except ValueError:

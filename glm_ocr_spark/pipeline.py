@@ -92,8 +92,10 @@ def _extract_batches(batches, passthrough=(), extractor=None):
     of failing the task."""
     fn = extractor or extract_turn
     for pdf in batches:
-        texts = pdf["text"]
-        tools = pdf["tool"]
+        # tolist() once per batch: per-element .iat[] pays pandas indexing
+        # overhead on every row (~10% of worker time at these payload sizes)
+        texts = pdf["text"].tolist()
+        tools = pdf["tool"].tolist()
         n = len(pdf)
         ext = [None] * n
         md = [None] * n
@@ -102,12 +104,12 @@ def _extract_batches(batches, passthrough=(), extractor=None):
         nb = [0] * n
         err = [None] * n
         for i in range(n):
-            tool = tools.iat[i]
+            tool = tools[i]
             if tool is not None and tool != "":
                 js[i] = "[[]]"
                 continue
             try:
-                r = fn(texts.iat[i])
+                r = fn(texts[i])
             except Exception as e:  # noqa: BLE001 - dead-letter, never fatal
                 js[i] = "[[]]"
                 err[i] = f"{type(e).__name__}: {e}"[:500]
