@@ -190,9 +190,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    # threshold 0.5: banded LSH (k=32, 16 bands of r=2) has recall ~1 there
-    # (miss prob (1-j^2)^16), and the exact-Jaccard verify stage makes the
-    # output equal to the true >= 0.5 pair set — SQL-oracle-checkable.
+    # threshold 0.5: banded LSH (k=32, 16 bands of r=2) + exact-Jaccard
+    # verify equals the true >= 0.5 pair set on these corpora because
+    # every true pair has j >= 0.8 (worst-case band-miss prob <= 8e-8) and
+    # no pair lies in [0.35, 0.8) — the margin is test-asserted
+    # (test_minhash_oracle_margin_no_borderline_pairs), so the full-value
+    # oracle claim is corpus-verified, not assumed. On a corpus WITH
+    # borderline pairs the honest check is candidates-subset + recall
+    # bound, not set equality (a probabilistic filter).
     from glm_ocr_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)

@@ -112,6 +112,34 @@ def test_minhash_lsh_equals_exact_jaccard(spark):
     assert len(exact) > 0
 
 
+def test_minhash_oracle_margin_no_borderline_pairs():
+    """Banded LSH (k=32, 16 bands of r=2) misses a j=0.5 pair with prob
+    ~1% — the full-value oracle equality claimed for dedup_minhash_lsh is
+    only sound if the corpus has no borderline pairs (round-2 advice).
+    Guard that: on the driver-compare corpora every true pair has j >= 0.8
+    (worst-case miss prob <= 8e-8) and NO pair lands in [0.35, 0.8), so a
+    corpus regeneration that introduced banding-risk pairs fails here
+    before it flakes the oracle."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from glm_ocr_spark.operators.dedup import shingles_py
+
+    for sf_dir in (SF1, SF2):
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        sh = {i: set(shingles_py(x))
+              for i, x in zip(t.column("doc_id").to_pylist(),
+                              t.column("text").to_pylist())}
+        for a, b in itertools.combinations(sorted(sh), 2):
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            assert j < 0.35 or j >= 0.8, (a, b, j)
+
+
 # ------------------------------------------------------------------ components
 
 def test_connected_components_chain(spark):
