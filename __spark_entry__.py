@@ -284,6 +284,37 @@ def q_emb_neardup_strict(spark, sf_dir):
                                    planes_per_band=planes)
 
 
+def q_gopher_quality(spark, sf_dir):
+    from glm_ocr_spark.operators.text_analysis import gopher_quality_filter
+
+    return gopher_quality_filter(_docs(spark, sf_dir))
+
+
+BM25_TERMS = ["data", "model", "the"]
+
+
+def q_bm25_scores(spark, sf_dir):
+    from glm_ocr_spark.operators.text_analysis import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), BM25_TERMS)
+
+
+def q_quota_per_source(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import quota_per_source
+
+    return quota_per_source(_docs(spark, sf_dir), max_per_source=3)
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25}
+
+
+def q_stratified_sample(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), SAMPLE_RATES,
+                             default_rate=0.1)
+
+
 def q_mm_media_meta(spark, sf_dir):
     from glm_ocr_spark.operators.multimodal import (
         docs_as_media,
@@ -531,6 +562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_strict": q_emb_neardup_strict,
+        "gopher_quality": q_gopher_quality,
+        "bm25_scores": q_bm25_scores,
+        "quota_per_source": q_quota_per_source,
+        "stratified_sample": q_stratified_sample,
         "mm_media_meta": q_mm_media_meta,
         "mm_frame_sample": q_mm_frame_sample,
         "asof_view_before_purchase": q_asof_view_before_purchase,
@@ -956,6 +991,93 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id != 0
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 10
+        """,
+        # Gopher-rule mirror: same normalized word split as _NORM, same
+        # bounds constants as operators.text_analysis.GOPHER_*
+        "gopher_quality": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split({_NORM}, ' ') END AS ws,
+                     len(regexp_extract_all(lower(text), '{_STOP}')) AS ns
+              FROM documents),
+            m AS (
+              SELECT doc_id, len(ws) AS n_words,
+                     CASE WHEN len(ws) > 0
+                          THEN list_aggregate(list_transform(ws,
+                               x -> length(x)), 'sum') / len(ws)
+                          ELSE 0.0 END AS mwl,
+                     CASE WHEN len(ws) > 0
+                          THEN len(list_filter(ws,
+                               x -> regexp_matches(x, '[#…]'))) / len(ws)
+                          ELSE 0.0 END AS swr,
+                     ns
+              FROM w)
+            SELECT doc_id, n_words,
+                   round(mwl, 6) AS mean_word_len,
+                   round(swr, 6) AS symbol_word_ratio,
+                   ns AS n_stopword_hits,
+                   n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+                   mwl >= 3.0 AND mwl <= 10.0 AS ok_mean_word_len,
+                   swr <= 0.1 AS ok_symbol_ratio,
+                   ns >= 2 AS ok_stopwords,
+                   (n_words >= 50 AND n_words <= 100000)
+                     AND (mwl >= 3.0 AND mwl <= 10.0)
+                     AND swr <= 0.1 AND ns >= 2 AS passes
+            FROM m
+        """,
+        # BM25 with the Lucene idf form; expression structure mirrors the
+        # Spark side so IEEE doubles agree to 6dp rounding
+        "bm25_scores": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split({_NORM}, ' ') END AS ws
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(ws) AS dl,
+                     len(list_filter(ws, x -> x = 'data')) AS tf0,
+                     len(list_filter(ws, x -> x = 'model')) AS tf1,
+                     len(list_filter(ws, x -> x = 'the')) AS tf2
+              FROM w),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+              FROM base)
+            SELECT doc_id, dl AS n_words,
+                   round(
+                     ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                       * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                       * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                       * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   , 6) AS bm25
+            FROM base, stats
+        """,
+        "quota_per_source": """
+            SELECT doc_id, source, lang, rank_in_source FROM (
+              SELECT doc_id, source, lang,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rank_in_source
+              FROM documents)
+            WHERE rank_in_source <= 3
+        """,
+        # deterministic md5-threshold sampling — identical 32-bit hash on
+        # both engines, so the sample is value-exact, not statistical
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                       AS h,
+                     CASE WHEN lang = 'en' THEN 0.5
+                          WHEN lang = 'de' THEN 0.25
+                          WHEN lang = 'fr' THEN 0.25
+                          ELSE 0.1 END AS rate
+              FROM documents)
+            WHERE h < rate * 4294967296.0
         """,
         "mm_media_meta": """
             SELECT doc_id AS media_id,

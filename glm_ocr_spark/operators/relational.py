@@ -283,3 +283,43 @@ def moving_value_avg(events: DataFrame,
         F.round(F.avg("value").over(w), 6).alias("trailing_avg"),
         F.count("*").over(w).alias("n_in_window"),
     )
+
+
+def quota_per_source(docs: DataFrame, max_per_source: int = 3) -> DataFrame:
+    """Domain/source quota capping: keep at most N documents per source
+    (deterministic: lowest doc_id wins). The standard pre-training
+    anti-domination rule ("no domain may exceed X documents") — one
+    shuffle on source, window-ranked, rank predicate applied before
+    anything downstream, so only survivors flow on.
+    """
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "lang",
+                    F.row_number().over(w).alias("rank_in_source"))
+        .filter(F.col("rank_in_source") <= max_per_source)
+    )
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      default_rate: float = 0.1) -> DataFrame:
+    """Deterministic per-stratum (language) sampling by hash threshold:
+    keep a document iff the first 8 hex chars of md5(doc_id) — a uniform
+    32-bit value — fall below rate * 2^32. Deterministic (resume/retry
+    reproduces the same sample, unlike rand()-based sampling), map-side
+    (no shuffle; the hash is a pure function of doc_id), and exactly
+    SQL-mirrorable, so the sample itself is oracle-checkable. The standard
+    shape for language-rebalancing a multilingual pre-training corpus.
+    """
+    h = F.conv(F.substring(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 8),
+        16, 10).cast("long")
+    rate = F.lit(float(default_rate))
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(float(r))).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", "source",
+                    h.alias("sample_hash"), rate.alias("sample_rate"))
+        .filter(F.col("sample_hash")
+                < F.col("sample_rate") * F.lit(float(1 << 32)))
+        .select("doc_id", "lang", "source")
+    )

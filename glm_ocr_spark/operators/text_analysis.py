@@ -150,3 +150,106 @@ def with_winnow_fingerprint(docs: DataFrame) -> DataFrame:
         return pd.Series([winnow_py(t) for t in text])
 
     return docs.select("doc_id", _fp(F.col("text")).alias("winnow_fp"))
+
+
+# --------------------------------------------------------- quality filtering
+
+# Gopher-style (Rae et al. 2021, table A1) document-quality rules, adapted
+# to this corpus's single-block text. Shared with the SQL oracle.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1
+GOPHER_SYMBOL_PATTERN = "[#…]"
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality_filter(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher-rule evaluation: word-count bounds, mean word
+    length bounds, symbol-word ratio, stopword-hit floor, plus the overall
+    pass flag. A 100 TB pre-training corpus filter is exactly this shape:
+    pure column expressions, whole-stage codegen, no shuffle — runs at
+    scan speed and the pass flag predicate-pushes into downstream reads.
+    (Reference family: the drop/abandon filter chain of
+    glmocr/pipeline/layout_postprocess_utils.py F1-F9, lifted from block
+    to document granularity.)"""
+    words = F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")),
+                    " ")
+    n_words = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(words))
+    total_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0), lambda acc, v: acc + v)
+    mean_wl = F.when(n_words > 0, total_len / n_words).otherwise(F.lit(0.0))
+    n_symbol_words = F.size(
+        F.filter(words, lambda w: w.rlike(GOPHER_SYMBOL_PATTERN)))
+    symbol_ratio = F.when(n_words > 0,
+                          n_symbol_words / n_words).otherwise(F.lit(0.0))
+    n_stop = F.regexp_count(F.lower("text"), F.lit(STOPWORD_PATTERN))
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_mean = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & \
+              (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+    ok_symbol = symbol_ratio <= GOPHER_MAX_SYMBOL_WORD_RATIO
+    ok_stop = n_stop >= GOPHER_MIN_STOPWORD_HITS
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        n_stop.alias("n_stopword_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_symbol & ok_stop).alias("passes"),
+    )
+
+
+# --------------------------------------------------------------- BM25 scoring
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(docs: DataFrame, terms: list[str],
+                k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set.
+
+    Corpus statistics (N, avgdl, per-term document frequency) are one
+    aggregate over the scan, broadcast back as literals via crossJoin of a
+    1-row DataFrame — the docs table itself never shuffles; the scoring
+    pass is a narrow map. idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the
+    Robertson/Sparck-Jones form Lucene uses); expression structure is
+    mirrored in the DuckDB oracle so doubles agree to rounding.
+    """
+    words = F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")),
+                    " ")
+    dl = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(words))
+    # NB: a `lambda w, t=t:` default here would change the lambda's arity —
+    # PySpark treats 2-arg higher-order lambdas as (element, index)
+    def _tf(term: str) -> Column:
+        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)]
+    base = docs.select("doc_id", dl.alias("dl"), *tf_cols)
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(terms))],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5) + 1.0)
+        score = score + idf * (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    return scored.select(
+        "doc_id", F.col("dl").alias("n_words"),
+        F.round(score, 6).alias("bm25"),
+    )

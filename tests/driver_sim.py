@@ -101,5 +101,9 @@ def main(sf_dir="/root/testdata/sf0.01", only=None):
 
 
 if __name__ == "__main__":
-    only = set(sys.argv[1:]) or None
-    sys.exit(1 if main(only=only) else 0)
+    argv = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if argv and "/" in argv[0]:
+        sf_dir = argv.pop(0)
+    only = set(argv) or None
+    sys.exit(1 if main(sf_dir, only=only) else 0)

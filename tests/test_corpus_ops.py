@@ -1,0 +1,71 @@
+"""Training-corpus operator tests: Gopher quality rules, BM25, quota
+capping, stratified sampling (the full-value gate is the DuckDB oracle in
+driver_sim; these cover edges the corpus doesn't exercise)."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF1 = "/root/testdata/sf0.001"
+
+
+def test_gopher_rules_edges(spark):
+    from glm_ocr_spark.operators.text_analysis import gopher_quality_filter
+
+    docs = spark.createDataFrame(
+        [(1, ""),                                  # empty
+         (2, "short text only"),                   # < 50 words
+         (3, " ".join(["the"] * 60)),              # stopwordy, len-3 words
+         (4, " ".join(["supercalifragilistic"] * 60)),  # mean len > 10
+         (5, " ".join(["#tag"] * 30 + ["the", "of"] + ["word"] * 30))],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_quality_filter(docs).collect()}
+    assert rows[1]["n_words"] == 0 and not rows[1]["passes"]
+    assert not rows[2]["ok_word_count"]
+    assert rows[3]["ok_word_count"] and rows[3]["ok_stopwords"]
+    assert not rows[4]["ok_mean_word_len"]
+    assert not rows[5]["ok_symbol_ratio"]  # 30/62 symbol words
+
+
+def test_bm25_orders_by_relevance(spark):
+    """A doc dense in a rare term outranks one without it; a term present
+    in every doc (df == N) still gets positive idf under the +1 form."""
+    from glm_ocr_spark.operators.text_analysis import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "model model model training data"),
+         (2, "the cat sat on the mat"),
+         (3, "model of the data pipeline")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"] for r in
+           bm25_scores(docs, ["model", "data"]).collect()}
+    assert got[1] > got[3] > got[2] == 0.0
+
+
+def test_quota_and_stratified_determinism(spark):
+    from glm_ocr_spark.operators.relational import (
+        quota_per_source,
+        stratified_sample,
+    )
+
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    q = quota_per_source(docs, max_per_source=2)
+    counts = {r["source"]: r["n"] for r in
+              q.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert max(counts.values()) <= 2
+    # keeper is the min doc_id per source (deterministic, not arbitrary)
+    first = q.filter(F.col("rank_in_source") == 1) \
+        .select("source", "doc_id").collect()
+    mins = {r["source"]: r["min_id"] for r in
+            docs.groupBy("source").agg(F.min("doc_id").alias("min_id"))
+            .collect()}
+    assert all(mins[r["source"]] == r["doc_id"] for r in first)
+
+    s1 = {r["doc_id"] for r in
+          stratified_sample(docs, {"en": 0.5}, 0.1).collect()}
+    s2 = {r["doc_id"] for r in
+          stratified_sample(docs, {"en": 0.5}, 0.1).collect()}
+    assert s1 == s2 and len(s1) > 0  # hash sampling: identical re-runs
