@@ -383,7 +383,9 @@ def main() -> None:
         "ann_lsh_topk", "ann_ivf_topk", "emb_neardup", "emb_neardup_strict",
         "quality_score",
         "fingerprint", "winnow_fingerprint", "token_count_bpe",
-        "doc_length_percentiles", "mm_media_meta", "mm_frame_sample",
+        "doc_length_percentiles", "doc_length_percentiles_approx",
+        "gopher_quality", "bm25_scores", "quota_per_source",
+        "stratified_sample", "mm_media_meta", "mm_frame_sample",
     ]
     qs = entrymod.queries()
     ann_results: dict[str, set] = {}
