@@ -284,6 +284,18 @@ def q_emb_neardup_strict(spark, sf_dir):
                                    planes_per_band=planes)
 
 
+def q_passage_dedup(spark, sf_dir):
+    from glm_ocr_spark.operators.dedup import passage_dedup
+
+    return passage_dedup(_docs(spark, sf_dir))
+
+
+def q_top_ngrams(spark, sf_dir):
+    from glm_ocr_spark.operators.text_analysis import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
+
+
 def q_gopher_quality(spark, sf_dir):
     from glm_ocr_spark.operators.text_analysis import gopher_quality_filter
 
@@ -562,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_strict": q_emb_neardup_strict,
+        "passage_dedup": q_passage_dedup,
+        "top_ngrams": q_top_ngrams,
         "gopher_quality": q_gopher_quality,
         "bm25_scores": q_bm25_scores,
         "quota_per_source": q_quota_per_source,
@@ -991,6 +1005,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id != 0
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 10
+        """,
+        # CCNet-style passage dedup: 10-word chunks, first (doc_id,
+        # chunk_idx) occurrence of each distinct passage survives
+        "passage_dedup": f"""
+            WITH w AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS ws
+              FROM documents WHERE trim(text) != ''),
+            chunks AS (
+              SELECT doc_id, (i - 1)::INT AS chunk_idx,
+                     array_to_string(ws[(i - 1) * 10 + 1 : i * 10], ' ')
+                       AS passage
+              FROM w, unnest(generate_series(1,
+                     CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS t(i)),
+            ranked AS (
+              SELECT doc_id, chunk_idx, passage,
+                     row_number() OVER (PARTITION BY passage
+                                        ORDER BY doc_id, chunk_idx) AS rk
+              FROM chunks)
+            SELECT doc_id, chunk_idx, passage FROM ranked WHERE rk = 1
+        """,
+        "top_ngrams": f"""
+            WITH w AS (
+              SELECT string_split({_NORM}, ' ') AS ws
+              FROM documents WHERE trim(text) != ''),
+            grams AS (
+              SELECT ws[i] || ' ' || ws[i + 1] AS ngram
+              FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 2)
+            SELECT ngram, count(*) AS n_occurrences
+            FROM grams GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram ASC
+            LIMIT 20
         """,
         # Gopher-rule mirror: same normalized word split as _NORM, same
         # bounds constants as operators.text_analysis.GOPHER_*

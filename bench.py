@@ -385,7 +385,8 @@ def main() -> None:
         "fingerprint", "winnow_fingerprint", "token_count_bpe",
         "doc_length_percentiles", "doc_length_percentiles_approx",
         "gopher_quality", "bm25_scores", "quota_per_source",
-        "stratified_sample", "mm_media_meta", "mm_frame_sample",
+        "stratified_sample", "passage_dedup", "top_ngrams",
+        "mm_media_meta", "mm_frame_sample",
     ]
     qs = entrymod.queries()
     ann_results: dict[str, set] = {}

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -489,4 +489,44 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         # O(candidates) to O(true pairs x <= nb block collisions)
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id1", "id2"])
+    )
+
+
+# ------------------------------------------------------- passage-level dedup
+
+PASSAGE_WORDS = 10
+
+
+def passage_dedup(docs: DataFrame,
+                  passage_words: int = PASSAGE_WORDS) -> DataFrame:
+    """CCNet-style sub-document dedup: split each document into fixed
+    `passage_words`-word passages and keep only the FIRST occurrence of
+    each distinct passage corpus-wide (first = lowest (doc_id, chunk_idx)).
+
+    The shape that removes boilerplate/quoted text a whole-doc hash never
+    catches. Chunking is a pure column map (no UDF); the only shuffle is
+    the window partition on the passage text itself — at 100 TB swap the
+    raw passage for its xxhash64 as the partition key so only 8-byte keys
+    ride the exchange (the tail verify-join pattern of minhash applies if
+    hash collisions matter).
+
+    Returns surviving (doc_id, chunk_idx, passage) rows.
+    """
+    words = F.split(norm_text_col(), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * passage_words + 1, passage_words)),
+    )
+    exploded = (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "passage"))
+    )
+    w = Window.partitionBy("passage").orderBy(F.asc("doc_id"),
+                                              F.asc("chunk_idx"))
+    return (
+        exploded.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "chunk_idx", "passage")
     )

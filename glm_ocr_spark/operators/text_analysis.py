@@ -253,3 +253,29 @@ def bm25_scores(docs: DataFrame, terms: list[str],
         "doc_id", F.col("dl").alias("n_words"),
         F.round(score, 6).alias("bm25"),
     )
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word n-grams with a deterministic tie-break
+    (count desc, ngram asc) — the wordcount-at-scale shape: map-side
+    partial aggregation into one shuffle on the n-gram, then
+    TakeOrderedAndProject (each partition keeps k rows, the driver merges
+    k x partitions — no global sort)."""
+    words = F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")),
+                    " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int"))
+                       for j in range(n)]),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.filter(F.trim("text") != "")
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram").agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )

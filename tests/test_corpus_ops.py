@@ -69,3 +69,41 @@ def test_quota_and_stratified_determinism(spark):
     s2 = {r["doc_id"] for r in
           stratified_sample(docs, {"en": 0.5}, 0.1).collect()}
     assert s1 == s2 and len(s1) > 0  # hash sampling: identical re-runs
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_corpus_op_plan_shapes(spark):
+    """Plan-quality assertions — the shapes that decide 100 TB viability:
+    - bm25: corpus stats reach the scorer via broadcast, never a
+      sort-merge join; the docs relation has no Exchange before scoring
+    - gopher/stratified: pure narrow maps, zero Exchange
+    - quota_per_source / passage_dedup: exactly one Exchange (the window
+      partition key) — nothing re-shuffles after
+    """
+    from glm_ocr_spark.operators.dedup import passage_dedup
+    from glm_ocr_spark.operators.relational import (
+        quota_per_source,
+        stratified_sample,
+    )
+    from glm_ocr_spark.operators.text_analysis import (
+        bm25_scores,
+        gopher_quality_filter,
+    )
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+
+    assert "Exchange" not in _plan(gopher_quality_filter(docs))
+    assert "Exchange" not in _plan(stratified_sample(docs, {"en": 0.5}))
+
+    bm25 = _plan(bm25_scores(docs, ["data", "model"]))
+    assert "BroadcastNestedLoopJoin" in bm25 or "BroadcastExchange" in bm25
+    assert "SortMergeJoin" not in bm25
+
+    for df in (quota_per_source(docs, 3), passage_dedup(docs)):
+        p = _plan(df)
+        # count data-moving exchanges only (broadcast exchanges move dims)
+        n_ex = p.count("Exchange hashpartitioning")
+        assert n_ex == 1, p
