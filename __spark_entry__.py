@@ -483,6 +483,26 @@ def q_q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_q10_returned_items(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import q10_returned_items
+
+    return q10_returned_items(
+        _table(spark, sf_dir, "customer"),
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "lineitem"),
+        _table(spark, sf_dir, "nation"),
+    )
+
+
+def q_q4_priority_with_returns(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import q4_priority_with_returns
+
+    return q4_priority_with_returns(
+        _table(spark, sf_dir, "orders"),
+        _table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_topk_events_per_user(spark, sf_dir):
     from glm_ocr_spark.operators.relational import topk_events_per_user
 
@@ -594,6 +614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        "q10_returned_items": q_q10_returned_items,
+        "q4_priority_with_returns": q_q4_priority_with_returns,
         "topk_events_per_user": q_topk_events_per_user,
         "sessionize": q_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -1235,6 +1257,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS revenue,
+                   c_acctbal, n_name
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1995-07-01'
+              AND o_orderdate < TIMESTAMP '1995-10-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q4_priority_with_returns": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+              AND o_orderdate < TIMESTAMP '1995-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,

@@ -323,3 +323,55 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
                 < F.col("sample_rate") * F.lit(float(1 << 32)))
         .select("doc_id", "lang", "source")
     )
+
+
+def q10_returned_items(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, nation: DataFrame,
+                       date_start: str = "1995-07-01",
+                       date_end: str = "1995-10-01") -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer over a
+    quarter, top 20.
+
+    Plan shape at scale: the lineitem⋈orders orderkey join is the one big
+    shuffle; customer and nation broadcast; the returnflag + date filters
+    push to the scans so only the quarter's returned lines ever join.
+    Deterministic tiebreak on c_custkey for a stable LIMIT.
+    """
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter((F.col("o_orderdate") >= F.lit(date_start))
+                            & (F.col("o_orderdate") < F.lit(date_end))),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+def q4_priority_with_returns(orders: DataFrame, lineitem: DataFrame,
+                             date_start: str = "1995-07-01",
+                             date_end: str = "1995-10-01") -> DataFrame:
+    """TPC-H Q4 shape adapted to this schema (no commit/receipt dates):
+    count a quarter's orders per priority where at least one line item was
+    returned — the EXISTS semi-join aggregate.
+
+    Left-semi join never widens rows or duplicates orders with multiple
+    matching lines; partial aggregation map-side after it.
+    """
+    returned = lineitem.filter(F.col("l_returnflag") == "R") \
+        .select("l_orderkey")
+    return (
+        orders.filter((F.col("o_orderdate") >= F.lit(date_start))
+                      & (F.col("o_orderdate") < F.lit(date_end)))
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"),
+              "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
