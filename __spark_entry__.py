@@ -428,6 +428,37 @@ def q_rollup_events(spark, sf_dir):
     )
 
 
+def q_cube_events(spark, sf_dir):
+    """CUBE aggregation: all grouping-set combinations of (event_type,
+    hour-of-day) — per-cell, per-type, per-hour, and grand totals in one
+    pass (Spark expands grouping sets before the single shuffle)."""
+    return (
+        _events(spark, sf_dir)
+        .cube("event_type", F.hour("ts").alias("hour_of_day"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def q_pivot_events(spark, sf_dir):
+    """Pivot event_type into columns: per-user counts of each type. Spark
+    compiles an explicit-values pivot to conditional aggregation — one
+    shuffle on user_id, no extra pass — which is also exactly how the
+    oracle expresses it (portable-SQL CASE form)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("view", F.lit(0)).alias("n_view"),
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+        )
+    )
+
+
 def q_distinct_users_per_type(spark, sf_dir):
     return (
         _events(spark, sf_dir)
@@ -608,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_inactive_parts": q_anti_join_inactive_parts,
         "q6_revenue": q_q6_revenue,
         "rollup_events": q_rollup_events,
+        "cube_events": q_cube_events,
+        "pivot_events": q_pivot_events,
         "distinct_users_per_type": q_distinct_users_per_type,
         "q1_pricing_summary": q_q1_pricing_summary,
         "segment_revenue": q_segment_revenue,
@@ -1210,6 +1243,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY ROLLUP(event_type)
+        """,
+        "cube_events": """
+            SELECT event_type, hour(ts) AS hour_of_day,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY CUBE(event_type, hour(ts))
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase
+            FROM events GROUP BY user_id
         """,
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
