@@ -665,6 +665,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
+# non-empty normalized words — mirrors operators.norm.real_words_col
+# (trim strips spaces only, so leading tabs/newlines yield an empty token
+# that word-counting operators must not count)
+_WORDS = f"list_filter(string_split({_NORM}, ' '), x -> x != '')"
+
 _STOP = r"\b(the|a|an|of|and|in|to|is|for|on|with)\b"
 _PUNCT = r"[.,;:!?]"
 
@@ -1065,7 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         # chunk_idx) occurrence of each distinct passage survives
         "passage_dedup": f"""
             WITH w AS (
-              SELECT doc_id, string_split({_NORM}, ' ') AS ws
+              SELECT doc_id, {_WORDS} AS ws
               FROM documents WHERE trim(text) != ''),
             chunks AS (
               SELECT doc_id, (i - 1)::INT AS chunk_idx,
@@ -1082,7 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_ngrams": f"""
             WITH w AS (
-              SELECT string_split({_NORM}, ' ') AS ws
+              SELECT {_WORDS} AS ws
               FROM documents WHERE trim(text) != ''),
             grams AS (
               SELECT ws[i] || ' ' || ws[i + 1] AS ngram
@@ -1097,9 +1102,7 @@ def oracle_sql() -> dict[str, str]:
         # bounds constants as operators.text_analysis.GOPHER_*
         "gopher_quality": f"""
             WITH w AS (
-              SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                          ELSE string_split({_NORM}, ' ') END AS ws,
+              SELECT doc_id, {_WORDS} AS ws,
                      len(regexp_extract_all(lower(text), '{_STOP}')) AS ns
               FROM documents),
             m AS (
@@ -1131,9 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         # Spark side so IEEE doubles agree to 6dp rounding
         "bm25_scores": f"""
             WITH w AS (
-              SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                          ELSE string_split({_NORM}, ' ') END AS ws
+              SELECT doc_id, {_WORDS} AS ws
               FROM documents),
             base AS (
               SELECT doc_id, len(ws) AS dl,

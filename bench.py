@@ -290,19 +290,21 @@ def write_bench_md(result: dict) -> None:
         ]
     lines += [
         "",
-        "## Round-2 throughput question: settled by interleaved A/B",
+        "## Historical note (measured 2026-08-16, round 3 — not part of "
+        "this bench run)",
         "",
-        "BENCH_r02 (83,957 turns/s) read ~20% below round 1 (104,382). An "
-        "interleaved same-session A/B of the round-1 vs round-2+ "
-        "extraction paths on the same corpus (3 alternating subprocess "
-        "rounds each, local[32], nothing else running) measured: r1 "
-        "median 82,021 / best 97,346 turns/s; current median 83,939 / "
-        "best 109,305 turns/s. Within-arm spread (55k-109k across rounds) "
-        "dwarfs the between-arm delta: the regression was shared-box "
-        "noise, not code — the current path is the faster arm. Round 3 "
-        "additionally sped the kernel ~20-30% (segment attr fast path, "
-        "inlined NMS IoU): 4,356 -> ~5,000-6,100 turns/s/core "
-        "single-thread.",
+        "The round-2 throughput question was settled by a one-off "
+        "interleaved A/B on that date: BENCH_r02 (83,957 turns/s) read "
+        "~20% below round 1 (104,382); alternating subprocess runs of the "
+        "two extraction paths on the same corpus (3 rounds each, "
+        "local[32], idle box) measured r1 median 82,021 / best 97,346 "
+        "vs round-3 median 83,939 / best 109,305 turns/s. Within-arm "
+        "spread (55k-109k) dwarfed the between-arm delta: shared-box "
+        "noise, not a code regression. Round 3 then sped the kernel "
+        "~20-30% single-thread (segment attr fast path, inlined NMS IoU: "
+        "4,356 -> ~5,000-6,100 turns/s/core, measured that day). The "
+        "numbers above this section are from the CURRENT run and "
+        "supersede these for any current-state question.",
     ]
     ncr = result.get("neardup_candidate_ratio") or {}
     if ncr:

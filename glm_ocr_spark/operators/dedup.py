@@ -34,8 +34,10 @@ from pyspark.sql import types as T
 
 # ----------------------------------------------------------------- shingles
 
-def norm_text_col():
-    return F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+from glm_ocr_spark.operators.norm import (  # noqa: E402 - shared norm spec
+    norm_text_col,
+    real_words_col,
+)
 
 
 def shingles_col(n: int = 3):
@@ -318,6 +320,7 @@ def connected_components(pairs: DataFrame, id1: str = "id1",
         .distinct().localCheckpoint()
     labels = (edges.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")))
+    changed = -1  # sentinel: max_iter <= 0 must still raise cleanly below
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -512,13 +515,18 @@ def passage_dedup(docs: DataFrame,
 
     Returns surviving (doc_id, chunk_idx, passage) rows.
     """
-    words = F.split(norm_text_col(), " ")
+    words = real_words_col()
     n_chunks = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(words, i * passage_words + 1, passage_words)),
-    )
+    # guard: Spark sequence(0, -1) generates a DESCENDING [0, -1], so a
+    # zero-word doc (whitespace-only text) must short-circuit to no chunks
+    chunks = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i * passage_words + 1, passage_words)),
+        ),
+    ).otherwise(F.array())
     exploded = (
         docs.filter(F.trim("text") != "")
         .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "passage"))

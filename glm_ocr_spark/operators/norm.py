@@ -1,0 +1,40 @@
+"""Shared text-normalization column expressions.
+
+ONE definition of "normalized text" and "word list" for every operator and
+its DuckDB oracle twin (the `_NORM` string in __spark_entry__.py mirrors
+`norm_text_col`; oracles that consume words mirror `real_words_col` with
+`list_filter(string_split(_NORM, ' '), x -> x != '')`). Re-spelling these
+per operator is how oracle equality silently rots — a change applied to
+one copy and not the others still "verifies" because both engines drift
+together (round-3 review finding).
+
+Semantics note: `trim` (JVM and DuckDB alike) strips 0x20 only, so text
+with leading/trailing tabs/newlines normalizes to a leading/trailing
+space and splits into an EMPTY token. The dedup/shingle family keeps that
+token deliberately (byte-parity with `shingles_py` and the shingle
+oracles); word-counting operators (Gopher rules, BM25, n-grams, passages)
+must NOT count it — they use `real_words_col`, which filters empties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def norm_text_col(col: str = "text") -> Column:
+    """trim (spaces only) -> collapse ASCII whitespace -> lower."""
+    return F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+
+
+def norm_words_col(col: str = "text") -> Column:
+    """Normalized text split on single spaces — MAY contain empty tokens
+    for text with leading/trailing non-space whitespace (see module
+    docstring); the shingle family depends on keeping them."""
+    return F.split(norm_text_col(col), " ")
+
+
+def real_words_col(col: str = "text") -> Column:
+    """Non-empty normalized words — what word-counting operators mean by
+    "words". Empty text (or whitespace-only text) yields a 0-length array."""
+    return F.filter(norm_words_col(col), lambda w: w != "")

@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from glm_ocr_spark.operators.norm import real_words_col
+
 # Shared spec constants — the SQL oracles in __spark_entry__ must use the
 # same values/patterns.
 STOPWORD_PATTERN = r"\b(the|a|an|of|and|in|to|is|for|on|with)\b"
@@ -174,10 +176,8 @@ def gopher_quality_filter(docs: DataFrame) -> DataFrame:
     (Reference family: the drop/abandon filter chain of
     glmocr/pipeline/layout_postprocess_utils.py F1-F9, lifted from block
     to document granularity.)"""
-    words = F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")),
-                    " ")
-    n_words = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
-        F.size(words))
+    words = real_words_col()
+    n_words = F.size(words)
     total_len = F.aggregate(
         F.transform(words, lambda w: F.length(w)),
         F.lit(0), lambda acc, v: acc + v)
@@ -223,10 +223,8 @@ def bm25_scores(docs: DataFrame, terms: list[str],
     Robertson/Sparck-Jones form Lucene uses); expression structure is
     mirrored in the DuckDB oracle so doubles agree to rounding.
     """
-    words = F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")),
-                    " ")
-    dl = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
-        F.size(words))
+    words = real_words_col()
+    dl = F.size(words)
     # NB: a `lambda w, t=t:` default here would change the lambda's arity —
     # PySpark treats 2-arg higher-order lambdas as (element, index)
     def _tf(term: str) -> Column:
@@ -261,8 +259,7 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     partial aggregation into one shuffle on the n-gram, then
     TakeOrderedAndProject (each partition keeps k rows, the driver merges
     k x partitions — no global sort)."""
-    words = F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")),
-                    " ")
+    words = real_words_col()
     grams = F.when(
         F.size(words) >= n,
         F.transform(

@@ -28,6 +28,25 @@ def test_gopher_rules_edges(spark):
     assert not rows[5]["ok_symbol_ratio"]  # 30/62 symbol words
 
 
+def test_gopher_word_count_ignores_empty_tokens(spark):
+    """trim strips spaces only, so a leading newline used to yield an
+    empty leading token that counted as a word — a 49-word doc with a
+    leading '\\n' passed the 50-word floor (round-3 review finding). Both
+    the operator and its oracle now count non-empty words only."""
+    from glm_ocr_spark.operators.text_analysis import gopher_quality_filter
+
+    base = " ".join(
+        f"w{i:02d}" for i in range(49))  # 49 real words, mean len 3
+    docs = spark.createDataFrame(
+        [(1, "\n" + base), (2, base + "\t"), (3, "\t"), (4, base + " the of")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_quality_filter(docs).collect()}
+    assert rows[1]["n_words"] == 49 and not rows[1]["ok_word_count"]
+    assert rows[2]["n_words"] == 49
+    assert rows[3]["n_words"] == 0
+    assert rows[4]["n_words"] == 51 and rows[4]["ok_word_count"]
+
+
 def test_bm25_orders_by_relevance(spark):
     """A doc dense in a rare term outranks one without it; a term present
     in every doc (df == N) still gets positive idf under the +1 form."""
