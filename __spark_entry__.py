@@ -327,6 +327,45 @@ def q_stratified_sample(spark, sf_dir):
                              default_rate=0.1)
 
 
+def _docs_with_pii(docs):
+    """Deterministically graft synthetic PII onto the corpus text (the
+    shipped corpus contains none): every even doc_id gains an email, every
+    doc_id % 3 == 0 a phone. Mirrored verbatim in the SQL oracle so the
+    scrub is verified against text that actually exercises both patterns."""
+    email = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@mail.example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(" call +1 415-555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    return docs.withColumn("text", F.concat(F.col("text"), email, phone))
+
+
+def q_pii_scrub(spark, sf_dir):
+    from glm_ocr_spark.operators.curation import pii_scrub
+
+    return pii_scrub(_docs_with_pii(_docs(spark, sf_dir)))
+
+
+DECONTAM_BENCH_SOURCES = ["src0", "src1"]
+
+
+def q_decontaminate(spark, sf_dir):
+    from glm_ocr_spark.operators.curation import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir), DECONTAM_BENCH_SOURCES)
+
+
+def q_c4_filters(spark, sf_dir):
+    from glm_ocr_spark.operators.curation import c4_filters
+
+    return c4_filters(_docs(spark, sf_dir))
+
+
 def q_mm_media_meta(spark, sf_dir):
     from glm_ocr_spark.operators.multimodal import (
         docs_as_media,
@@ -631,6 +670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "quota_per_source": q_quota_per_source,
         "stratified_sample": q_stratified_sample,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "c4_filters": q_c4_filters,
         "mm_media_meta": q_mm_media_meta,
         "mm_frame_sample": q_mm_frame_sample,
         "asof_view_before_purchase": q_asof_view_before_purchase,
@@ -669,6 +711,13 @@ _NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 # (trim strips spaces only, so leading tabs/newlines yield an empty token
 # that word-counting operators must not count)
 _WORDS = f"list_filter(string_split({_NORM}, ' '), x -> x != '')"
+
+# PII regex spec, shared verbatim with the Spark side (Java-regex/RE2
+# common subset; see operators/curation.py)
+from glm_ocr_spark.operators.curation import (  # noqa: E402
+    EMAIL_PATTERN as _EMAIL_RE,
+    PHONE_PATTERN as _PHONE_RE,
+)
 
 _STOP = r"\b(the|a|an|of|and|in|to|is|for|on|with)\b"
 _PUNCT = r"[.,;:!?]"
@@ -1180,6 +1229,87 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.1 END AS rate
               FROM documents)
             WHERE h < rate * 4294967296.0
+        """,
+        # PII scrub over the deterministically PII-augmented corpus; the
+        # regex patterns are f-string-interpolated from
+        # operators.curation.EMAIL_PATTERN / PHONE_PATTERN (single source
+        # of truth — the Java-regex/RE2 common subset)
+        "pii_scrub": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 2 = 0
+                          THEN ' contact user' || doc_id::VARCHAR
+                               || '@mail.example.com' ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0
+                          THEN ' call +1 415-555-'
+                               || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                          ELSE '' END AS t
+              FROM documents),
+            ne AS (
+              SELECT doc_id, t,
+                     regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1,
+                     len(regexp_extract_all(t, '{_EMAIL_RE}'))::BIGINT
+                       AS n_emails
+              FROM aug)
+            SELECT doc_id,
+                   regexp_replace(t1, '{_PHONE_RE}', '<PHONE>', 'g')
+                     AS text_scrubbed,
+                   n_emails,
+                   len(regexp_extract_all(t1, '{_PHONE_RE}'))::BIGINT
+                     AS n_phones
+            FROM ne
+        """,
+        # benchmark decontamination: distinct 5-word-ngram overlap between
+        # each non-benchmark doc and the src0/src1 benchmark set
+        "decontaminate": f"""
+            WITH w AS (
+              SELECT doc_id, source, {_WORDS} AS ws FROM documents),
+            g AS (
+              SELECT doc_id, source,
+                     unnest(list_transform(range(len(ws) - 4),
+                            i -> array_to_string(ws[i + 1 : i + 5], ' ')))
+                       AS ng
+              FROM w WHERE len(ws) >= 5),
+            bench AS (
+              SELECT DISTINCT ng FROM g
+              WHERE source IN ('src0', 'src1')),
+            corpus AS (
+              SELECT DISTINCT doc_id, ng FROM g
+              WHERE source NOT IN ('src0', 'src1')),
+            cnt AS (
+              SELECT c.doc_id, count(b.ng) AS n_overlap
+              FROM corpus c LEFT JOIN bench b USING (ng)
+              GROUP BY c.doc_id)
+            SELECT d.doc_id,
+                   coalesce(cnt.n_overlap, 0)::BIGINT AS n_overlap,
+                   coalesce(cnt.n_overlap, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+            WHERE d.source NOT IN ('src0', 'src1')
+        """,
+        # C4-rule mirror: same word split as _WORDS, same constants as
+        # operators.curation.C4_*
+        "c4_filters": f"""
+            WITH w AS (
+              SELECT doc_id, text, {_WORDS} AS ws FROM documents),
+            m AS (
+              SELECT doc_id, text, len(ws) AS n_words,
+                     coalesce(list_aggregate(list_transform(ws,
+                              x -> length(x)), 'max'), 0) AS mwl
+              FROM w)
+            SELECT doc_id, n_words, mwl AS max_word_len,
+                   regexp_matches(text, '[.!?]\\s*$') AS ok_terminal_punct,
+                   n_words >= 5 AS ok_min_words,
+                   mwl <= 25 AS ok_word_len,
+                   NOT (contains(lower(text), 'lorem ipsum')
+                        OR contains(lower(text), 'javascript')
+                        OR contains(lower(text), '{{')) AS ok_blocklist,
+                   (regexp_matches(text, '[.!?]\\s*$')
+                      AND n_words >= 5 AND mwl <= 25
+                      AND NOT (contains(lower(text), 'lorem ipsum')
+                               OR contains(lower(text), 'javascript')
+                               OR contains(lower(text), '{{'))) AS keep
+            FROM m
         """,
         "mm_media_meta": """
             SELECT doc_id AS media_id,

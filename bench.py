@@ -388,6 +388,10 @@ def main() -> None:
         "doc_length_percentiles", "doc_length_percentiles_approx",
         "gopher_quality", "bm25_scores", "quota_per_source",
         "stratified_sample", "passage_dedup", "top_ngrams",
+        "pii_scrub", "decontaminate", "c4_filters",
+        "q10_returned_items", "q4_priority_with_returns",
+        "q6_revenue", "cube_events", "pivot_events", "rollup_events",
+        "asof_view_before_purchase", "range_join_views_before_purchase",
         "mm_media_meta", "mm_frame_sample",
     ]
     qs = entrymod.queries()

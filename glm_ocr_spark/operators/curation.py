@@ -1,0 +1,163 @@
+"""Corpus-curation operators a 100 TB training-data pipeline needs beyond
+dedup: PII scrubbing, benchmark decontamination, and C4-style rule filters.
+
+All three are expressed as pure DataFrame plans (JVM-side regex /
+higher-order array functions — no Python in the hot path) with exact
+ANSI-SQL twins in __spark_entry__.oracle_sql. Regex patterns are written in
+the common Java-regex / RE2 subset (char classes, bounded repeats, no
+backreferences or lookaround) so Spark and DuckDB agree byte-for-byte.
+
+Scale notes per operator are inline; the common theme: PII scrub and the
+filter rules are narrow maps (scan speed, no shuffle); decontamination
+shuffles only distinct n-gram keys and broadcasts the benchmark side.
+
+Reference family: the drop/redact/normalize text-hygiene chain of
+glmocr/pipeline/result_postprocess_utils.py (T1-T8) and the block filter
+chain of layout_postprocess_utils.py (F1-F9), lifted from block to
+document granularity for corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from glm_ocr_spark.operators.norm import real_words_col
+
+# ------------------------------------------------------------- PII scrubbing
+# Shared spec constants — the SQL oracles in __spark_entry__ must use the
+# same patterns/tokens verbatim (Java regex == RE2 for this subset).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = (
+    r"(\+?[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}"
+)
+EMAIL_TOKEN = "<EMAIL>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails and phone numbers, keeping per-doc redaction counts.
+
+    Order matters and is part of the spec: emails first (an email never
+    contains a phone match because PHONE requires a `[-. ]` separator
+    before the final 4 digits, but scrubbing emails first also keeps the
+    counts independent of each other by construction).
+
+    100 TB shape: two regexp_count + two regexp_replace over the scan —
+    whole-stage codegen, zero shuffle, runs at scan speed. The redaction
+    counts aggregate map-side if rolled up downstream.
+    """
+    text = F.col(text_col)
+    n_emails = F.regexp_count(text, F.lit(EMAIL_PATTERN))
+    no_email = F.regexp_replace(text, EMAIL_PATTERN, EMAIL_TOKEN)
+    n_phones = F.regexp_count(no_email, F.lit(PHONE_PATTERN))
+    scrubbed = F.regexp_replace(no_email, PHONE_PATTERN, PHONE_TOKEN)
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+    )
+
+
+# -------------------------------------------------- benchmark decontamination
+
+DECONTAM_NGRAM = 5
+
+
+def ngrams_col(n: int):
+    """Sliding word n-grams of the normalized non-empty word list as a
+    column expression (space-joined strings). Docs with < n words yield an
+    empty array."""
+    words = real_words_col()
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(docs: DataFrame, benchmark_sources: list[str],
+                  n: int = DECONTAM_NGRAM) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Gopher appendix procedure):
+    flag every training document that shares any word n-gram with a held
+    benchmark set — here the docs whose `source` is in benchmark_sources.
+
+    Returns one row per NON-benchmark doc: (doc_id, n_overlap,
+    contaminated) where n_overlap counts the doc's DISTINCT n-grams that
+    appear anywhere in the benchmark set.
+
+    100 TB shape: the benchmark side (a few thousand eval documents) is
+    distinct-reduced and broadcast, so the corpus never shuffles — the
+    per-doc explode feeds a broadcast-hash semi-match and a single
+    map-side-partial groupBy(doc_id). At 10^12 docs swap the raw n-gram
+    string for xxhash64(ngram) so only 8-byte keys hit the hash table
+    (same key-compression rule as passage_dedup / minhash banding).
+    """
+    grams = ngrams_col(n)
+    bench = (
+        docs.filter(F.col("source").isin(benchmark_sources))
+        .select(F.explode(grams).alias("ng")).distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = docs.filter(~F.col("source").isin(benchmark_sources))
+    doc_grams = corpus.select(
+        "doc_id", F.explode_outer(grams).alias("ng")
+    ).dropDuplicates(["doc_id", "ng"])
+    joined = doc_grams.join(F.broadcast(bench), "ng", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            (F.col("n_overlap") > 0).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------- C4-style filters
+# Shared spec constants for the rule set (C4 / "Colossal Clean Crawled
+# Corpus" heuristics, adapted to single-block text). The SQL oracle
+# mirrors these values.
+C4_MIN_WORDS = 5
+C4_MAX_WORD_CHARS = 25
+C4_TERMINAL_PUNCT = r"[.!?]\s*$"
+C4_BAD_SUBSTRINGS = ("lorem ipsum", "javascript", "{")
+
+
+def c4_filters(docs: DataFrame) -> DataFrame:
+    """Per-document C4 rule flags: terminal punctuation, word-count floor,
+    over-long-word cap, and bad-substring blocklist, plus the combined
+    keep flag. Emitting flags (not a filtered table) keeps every rule
+    auditable — the production filter is `WHERE keep`, which predicate-
+    pushes into the scan.
+
+    100 TB shape: pure column expressions, no shuffle, scan speed.
+    """
+    words = real_words_col()
+    n_words = F.size(words)
+    max_word_len = F.coalesce(
+        F.array_max(F.transform(words, lambda w: F.length(w))), F.lit(0))
+    low = F.lower("text")
+    ok_terminal = F.col("text").rlike(C4_TERMINAL_PUNCT)
+    ok_min_words = n_words >= C4_MIN_WORDS
+    ok_word_len = max_word_len <= C4_MAX_WORD_CHARS
+    ok_blocklist = ~(
+        low.contains(C4_BAD_SUBSTRINGS[0])
+        | low.contains(C4_BAD_SUBSTRINGS[1])
+        | low.contains(C4_BAD_SUBSTRINGS[2])
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        max_word_len.alias("max_word_len"),
+        ok_terminal.alias("ok_terminal_punct"),
+        ok_min_words.alias("ok_min_words"),
+        ok_word_len.alias("ok_word_len"),
+        ok_blocklist.alias("ok_blocklist"),
+        (ok_terminal & ok_min_words & ok_word_len & ok_blocklist)
+        .alias("keep"),
+    )
