@@ -14,17 +14,52 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+# The input_hint contract schema, enforced on schemaless formats (JSONL,
+# CSV) so a malformed feed fails loudly at the scan instead of poisoning
+# downstream types; on parquet/Iceberg the footer schema wins and the
+# select() guarantees pruning.
+TRANSCRIPT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("tool", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+_SCHEMALESS_FORMATS = {"json", "csv"}
 
 
 def read_transcripts(spark: SparkSession, path_or_table: str,
                      fmt: str = "parquet") -> DataFrame:
     """Read the transcripts input (input_hint schema). Accepts a table name
     (Iceberg/HMS catalog) or a path; only the contract columns are selected
-    so downstream column pruning is guaranteed regardless of table width."""
+    so downstream column pruning is guaranteed regardless of table width.
+    JSONL/CSV feeds get the contract schema applied explicitly (no
+    inference pass over the data — at 100 TB a schema-inference pre-scan
+    doubles the read) with mode=FAILFAST so type drift surfaces at the
+    scan."""
     if "/" in path_or_table:
-        df = spark.read.format(fmt).load(path_or_table)
+        reader = spark.read.format(fmt)
+        if fmt in _SCHEMALESS_FORMATS:
+            reader = reader.schema(TRANSCRIPT_SCHEMA) \
+                .option("mode", "FAILFAST")
+            if fmt == "csv":
+                # payload text is multi-line, so quoted newlines force
+                # multiLine=true — which makes CSV files NON-SPLITTABLE
+                # (one task per file). CSV also cannot represent '' vs
+                # NULL distinctly (both read as NULL) — harmless here, the
+                # extraction path treats them identically (pipeline.py:108)
+                # CSV is the compat path; JSONL stays line-splittable and
+                # parquet/Iceberg is the real input.
+                reader = (reader.option("header", "true")
+                          .option("multiLine", "true")
+                          .option("escape", '"'))
+        df = reader.load(path_or_table)
     else:
         df = spark.read.table(path_or_table)
     return df.select(*TRANSCRIPT_COLUMNS)

@@ -111,3 +111,60 @@ def test_percentile_approx_rank_error_bound(spark):
         lo = float(np.quantile(vals, max(0.0, q - 2 * eps)))
         hi = float(np.quantile(vals, min(1.0, q + 2 * eps)))
         assert lo <= got <= hi, (q, got, lo, hi)
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """HLL++ twin of distinct_users_per_type: at rsd=0.01 the estimate per
+    group must land within ~3 standard errors (3%) of the exact count on
+    the sf0.01 events table — the bound a 100 TB user sizes against."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.01"
+    exact = {r["event_type"]: r["n_users"]
+             for r in e.queries()["distinct_users_per_type"](
+                 spark, sf_dir).collect()}
+    approx = {r["event_type"]: r["n_users_approx"]
+              for r in e.queries()["distinct_users_per_type_approx"](
+                  spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.03 * n), (k, n, approx[k])
+
+
+def test_approx_count_distinct_partial_merges_map_side(spark):
+    """The HLL aggregate must show partial_approx_count_distinct below the
+    Exchange (sketches merge map-side; only ~KB registers shuffle)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["distinct_users_per_type_approx"](
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_approx_count_distinct" in plan
+
+
+def test_read_transcripts_jsonl_and_csv_roundtrip(spark, tmp_path):
+    """Schema-enforced JSONL/CSV transcript feeds parse to the identical
+    rows as the parquet contract (no inference pass, FAILFAST on drift)."""
+    from glm_ocr_spark.data.gen import transcripts_df
+    from glm_ocr_spark.sources.readers import read_transcripts
+
+    src = transcripts_df(spark, 0.001).limit(200).cache()
+    # tool '' -> None: CSV cannot carry the distinction (both read NULL);
+    # the extraction path treats them identically (pipeline.py:108), so
+    # the contract comparison normalizes it
+    want = {(r["conv_id"], r["turn_idx"], r["role"], r["text"],
+             r["tool"] or None, r["ts"]) for r in src.collect()}
+    jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
+    src.write.mode("overwrite").json(jdir)
+    # RFC-4180 quoting ("" doubling) — what external CSV feeds produce and
+    # what read_transcripts' escape='"' expects
+    src.write.mode("overwrite").option("header", "true") \
+        .option("escape", '"').csv(cdir)
+    for path, fmt in ((jdir, "json"), (cdir, "csv")):
+        got_df = read_transcripts(spark, path, fmt=fmt)
+        assert [f.name for f in got_df.schema.fields] == [
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        got = {(r["conv_id"], r["turn_idx"], r["role"], r["text"],
+                r["tool"] or None, r["ts"]) for r in got_df.collect()}
+        assert got == want, fmt
