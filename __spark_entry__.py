@@ -366,6 +366,12 @@ def q_c4_filters(spark, sf_dir):
     return c4_filters(_docs(spark, sf_dir))
 
 
+def q_curation_pipeline(spark, sf_dir):
+    from glm_ocr_spark.operators.curation import curation_pipeline
+
+    return curation_pipeline(_docs(spark, sf_dir), DECONTAM_BENCH_SOURCES)
+
+
 def q_mm_media_meta(spark, sf_dir):
     from glm_ocr_spark.operators.multimodal import (
         docs_as_media,
@@ -690,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "c4_filters": q_c4_filters,
+        "curation_pipeline": q_curation_pipeline,
         "mm_media_meta": q_mm_media_meta,
         "mm_frame_sample": q_mm_frame_sample,
         "asof_view_before_purchase": q_asof_view_before_purchase,
@@ -1328,6 +1335,52 @@ def oracle_sql() -> dict[str, str]:
                                OR contains(lower(text), 'javascript')
                                OR contains(lower(text), '{{'))) AS keep
             FROM m
+        """,
+        # full curation run — stage order (floor -> decontaminate -> dedup
+        # keep-first -> quota) is part of the spec; constants mirror
+        # operators.curation.CURATION_*
+        "curation_pipeline": f"""
+            WITH w AS (
+              SELECT doc_id, lang, source, text, {_WORDS} AS ws
+              FROM documents),
+            base AS (
+              SELECT doc_id, lang, source, text, len(ws) AS n_words
+              FROM w
+              WHERE source NOT IN ('src0', 'src1') AND len(ws) >= 30),
+            g AS (
+              SELECT doc_id, source,
+                     unnest(list_transform(range(len(ws) - 4),
+                            i -> array_to_string(ws[i + 1 : i + 5], ' ')))
+                       AS ng
+              FROM w WHERE len(ws) >= 5),
+            bench AS (
+              SELECT DISTINCT ng FROM g
+              WHERE source IN ('src0', 'src1')),
+            corpus AS (
+              SELECT DISTINCT doc_id, ng FROM g
+              WHERE source NOT IN ('src0', 'src1')),
+            cnt AS (
+              SELECT c.doc_id, count(b.ng) AS n_overlap
+              FROM corpus c LEFT JOIN bench b USING (ng)
+              GROUP BY c.doc_id),
+            decon AS (
+              SELECT base.* FROM base LEFT JOIN cnt USING (doc_id)
+              WHERE coalesce(cnt.n_overlap, 0) <= 2),
+            fp AS (
+              SELECT doc_id, lang, source, n_words,
+                     md5({_NORM}) AS fingerprint
+              FROM decon),
+            dedup AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                             ORDER BY doc_id) AS rk
+                FROM fp)
+              WHERE rk = 1)
+            SELECT doc_id, lang, source, n_words FROM (
+              SELECT *, row_number() OVER (PARTITION BY source
+                                           ORDER BY doc_id) AS qk
+              FROM dedup)
+            WHERE qk <= 5
         """,
         "mm_media_meta": """
             SELECT doc_id AS media_id,

@@ -73,7 +73,11 @@ def ensure_transcripts(spark, sf: float) -> str:
 def shuffle_metrics(spark) -> dict:
     """Cumulative stage metrics from the local UI REST API — hard evidence
     for the north rule's shuffle bound (the extraction job's only shuffle
-    traffic is the count() partial aggregation, a few KB)."""
+    traffic is the count() partial aggregation, a few KB). Cumulative over
+    the app's lifetime — callers that want one phase must snapshot before
+    and after and diff (`diff_metrics`); a cold .bench cache regenerates
+    the corpus in-app, whose repartition shuffle would otherwise be
+    misattributed to extraction (round-3 finding: 181 MB vs 22 KB)."""
     import urllib.request
 
     try:
@@ -90,6 +94,14 @@ def shuffle_metrics(spark) -> dict:
         }
     except Exception:  # noqa: BLE001 - UI may be disabled; metric optional
         return {}
+
+
+def diff_metrics(before: dict, after: dict) -> dict:
+    """Phase-scoped metrics: after - before, per key (n_stages included)."""
+    if not after:
+        return {}
+    return {k: after.get(k, 0) - (before.get(k, 0) if before else 0)
+            for k in after}
 
 
 def extract_throughput(spark, input_path: str, warm: bool = True,
@@ -367,8 +379,9 @@ def main() -> None:
     # wave-quantization removal) for the headline number
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    shuffle_before = shuffle_metrics(spark)
     n_rows, dt = extract_throughput(spark, tpath)
-    extract_shuffle = shuffle_metrics(spark)
+    extract_shuffle = diff_metrics(shuffle_before, shuffle_metrics(spark))
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
     spark.conf.set("spark.sql.files.openCostInBytes", "512k")
     queries_sec["extract_transcripts"] = round(dt, 3)
@@ -388,7 +401,7 @@ def main() -> None:
         "doc_length_percentiles", "doc_length_percentiles_approx",
         "gopher_quality", "bm25_scores", "quota_per_source",
         "stratified_sample", "passage_dedup", "top_ngrams",
-        "pii_scrub", "decontaminate", "c4_filters",
+        "pii_scrub", "decontaminate", "c4_filters", "curation_pipeline",
         "q10_returned_items", "q4_priority_with_returns",
         "q6_revenue", "cube_events", "pivot_events", "rollup_events",
         "asof_view_before_purchase", "range_join_views_before_purchase",

@@ -19,10 +19,10 @@ document granularity for corpus curation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from glm_ocr_spark.operators.norm import real_words_col
+from glm_ocr_spark.operators.norm import norm_text_col, real_words_col
 
 # ------------------------------------------------------------- PII scrubbing
 # Shared spec constants — the SQL oracles in __spark_entry__ must use the
@@ -160,4 +160,61 @@ def c4_filters(docs: DataFrame) -> DataFrame:
         ok_blocklist.alias("ok_blocklist"),
         (ok_terminal & ok_min_words & ok_word_len & ok_blocklist)
         .alias("keep"),
+    )
+
+
+# -------------------------------------------------- end-to-end curation run
+
+CURATION_MIN_WORDS = 30
+CURATION_MAX_OVERLAP = 2
+CURATION_QUOTA = 5
+
+
+def curation_pipeline(docs: DataFrame, benchmark_sources: list[str],
+                      min_words: int = CURATION_MIN_WORDS,
+                      max_overlap: int = CURATION_MAX_OVERLAP,
+                      quota: int = CURATION_QUOTA) -> DataFrame:
+    """The full corpus-curation run as ONE declarative plan — the U4
+    pipeline-composition showcase (reference analog: the staged
+    detect->filter->format chain of glmocr/pipeline/pipeline.py, lifted to
+    corpus granularity). Stage order is part of the spec (and mirrored in
+    the SQL oracle):
+
+      1. quality floor: non-benchmark docs with >= min_words real words
+      2. decontamination: drop docs sharing > max_overlap distinct 5-grams
+         with the benchmark sources
+      3. exact dedup: keep the lowest-doc_id owner of each normalized-text
+         fingerprint
+      4. per-source quota: keep the first `quota` survivors per source
+
+    100 TB shape: one broadcast join (benchmark n-grams), one map-side-
+    partial aggregate on doc_id, then two window shuffles (fingerprint,
+    source). Catalyst pipelines the filters into the scans; nothing is
+    materialized between stages. At 10^12 docs the two windows become the
+    dominant exchanges — both are on high-cardinality keys (no skew by
+    construction: fingerprints are hashes, sources are capped by quota).
+    """
+    base = (
+        docs.filter(~F.col("source").isin(benchmark_sources))
+        .select("doc_id", "lang", "source", "text",
+                F.size(real_words_col()).alias("n_words"))
+        .filter(F.col("n_words") >= min_words)
+    )
+    overlap = decontaminate(docs, benchmark_sources)
+    decon = (
+        base.join(overlap, "doc_id", "left")
+        .filter(F.coalesce(F.col("n_overlap"), F.lit(0)) <= max_overlap)
+    )
+    fp = decon.withColumn(
+        "fingerprint", F.md5(F.encode(norm_text_col(), "UTF-8")))
+    w_fp = Window.partitionBy("fingerprint").orderBy(F.asc("doc_id"))
+    dedup = (
+        fp.withColumn("rk", F.row_number().over(w_fp))
+        .filter(F.col("rk") == 1)
+    )
+    w_src = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    return (
+        dedup.withColumn("qk", F.row_number().over(w_src))
+        .filter(F.col("qk") <= quota)
+        .select("doc_id", "lang", "source", "n_words")
     )

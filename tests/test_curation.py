@@ -142,3 +142,48 @@ def test_curation_narrow_maps_have_no_shuffle(spark):
     for df in (pii_scrub(docs), c4_filters(docs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+# ------------------------------------------------- end-to-end curation run
+
+
+def test_curation_pipeline_stages(spark):
+    from glm_ocr_spark.operators.curation import curation_pipeline
+
+    def words(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    bench_text = words("b", 40)                      # benchmark doc
+    contaminated = words("b", 12) + " " + words("x", 30)  # >2 shared 5-grams
+    clean = words("c", 35)
+    rows = [
+        (0, "en", "benchsrc", bench_text),
+        (1, "en", "s1", contaminated),               # dropped: decontam
+        (2, "en", "s1", clean),                      # kept
+        (3, "en", "s1", clean.upper()),              # dup after lower() norm
+        (4, "en", "s1", words("d", 10)),             # dropped: < 30 words
+    ]
+    # source s2: 7 qualifying unique docs -> quota caps at 5
+    rows += [(10 + i, "en", "s2", words(f"q{i}_", 32)) for i in range(7)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string")
+    out = curation_pipeline(docs, ["benchsrc"], min_words=30,
+                            max_overlap=2, quota=5)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {2, 10, 11, 12, 13, 14}
+    # keeper of the (2,3) dup pair is the lowest doc_id
+    assert 3 not in got
+
+
+def test_curation_pipeline_plan_shape(spark):
+    """One broadcast (benchmark n-grams); the corpus side has no
+    cartesian/nested-loop join anywhere."""
+    from glm_ocr_spark.operators.curation import curation_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "en", "b", "a b c d e f"), (2, "en", "s", "g h i j k l")],
+        "doc_id long, lang string, source string, text string")
+    plan = curation_pipeline(docs, ["b"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
