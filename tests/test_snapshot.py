@@ -150,3 +150,89 @@ def test_rerun_is_noop(spark, small_transcripts, tmp_path):
     assert m["resumed_buckets"] == 4
     assert m["processed_buckets"] == 0
     assert m["commits"] == 0
+
+
+def test_merge_upsert_update_insert_and_cow(spark, small_transcripts,
+                                            tmp_path):
+    """MERGE semantics: matched keys replaced, unmatched inserted, only
+    touched buckets rewritten (untouched file lists byte-identical),
+    pre-merge snapshot still time-travels."""
+    import pyspark.sql.functions as F
+
+    from glm_ocr_spark.snapshot import merge_upsert
+
+    root = str(tmp_path / "cat")
+    run_with_snapshots(spark, small_transcripts, root, n_buckets=N_BUCKETS)
+    store = SnapshotStore(root)
+    pre_sid = store.current_id()
+    pre_manifest = store.manifest()
+    before = _logical(spark, store)
+    out = store.read_output(spark)
+
+    # updates: rewrite extracted_text for every turn of ONE conversation,
+    # plus insert one brand-new key in the same conversation (same bucket)
+    conv = out.select("conv_id").orderBy("conv_id").first()["conv_id"]
+    upd_rows = (out.filter(F.col("conv_id") == conv).drop("bucket")
+                .withColumn("extracted_text", F.lit("MERGED")))
+    new_row = (upd_rows.limit(1)
+               .withColumn("turn_idx", F.lit(9999).cast("int")))
+    updates = upd_rows.unionByName(new_row)
+    n_upd = updates.count()
+
+    m = merge_upsert(spark, store, updates, ["conv_id", "turn_idx"],
+                     n_buckets=N_BUCKETS)
+    assert m["snapshot_id"] == pre_sid + 1
+    assert len(m["touched_buckets"]) == 1  # one conv -> one bucket
+
+    after = store.read_output(spark)
+    # matched rows replaced, new key inserted
+    got_conv = after.filter(F.col("conv_id") == conv)
+    assert got_conv.count() == n_upd
+    assert {r["extracted_text"] for r in got_conv.collect()} == {"MERGED"}
+    assert got_conv.filter("turn_idx = 9999").count() == 1
+    # every other row untouched
+    rest_before = [r for r in before if r[0] != conv]
+    rest_after = sorted(
+        (r["conv_id"], r["turn_idx"], r["extracted_text"], r["json"])
+        for r in after.filter(F.col("conv_id") != conv).collect())
+    assert rest_after == rest_before
+    # copy-on-write: untouched buckets keep their exact file lists
+    post_manifest = store.manifest()
+    for b, e in pre_manifest["buckets"].items():
+        if int(b) not in m["touched_buckets"]:
+            assert post_manifest["buckets"][b]["files"] == e["files"]
+    # time travel: the pre-merge snapshot is intact
+    assert _logical(spark, store, pre_sid) == before
+
+
+def test_merge_upsert_crash_is_invisible(spark, small_transcripts,
+                                         tmp_path):
+    import pyspark.sql.functions as F
+
+    from glm_ocr_spark.snapshot import merge_upsert
+
+    root = str(tmp_path / "cat")
+    run_with_snapshots(spark, small_transcripts, root, n_buckets=N_BUCKETS)
+    store = SnapshotStore(root)
+    before = _logical(spark, store)
+    pre_sid = store.current_id()
+    updates = (store.read_output(spark).limit(3).drop("bucket")
+               .withColumn("extracted_text", F.lit("LOST")))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_upsert(spark, store, updates, ["conv_id", "turn_idx"],
+                     n_buckets=N_BUCKETS, fail_before_commit=True)
+    assert store.current_id() == pre_sid
+    assert _logical(spark, store) == before
+
+
+def test_merge_upsert_into_empty_table(spark, small_transcripts, tmp_path):
+    from glm_ocr_spark.pipeline import extract_transcripts
+    from glm_ocr_spark.snapshot import merge_upsert
+
+    root = str(tmp_path / "cat")
+    store = SnapshotStore(root)
+    updates = extract_transcripts(small_transcripts.limit(20))
+    m = merge_upsert(spark, store, updates, ["conv_id", "turn_idx"],
+                     n_buckets=N_BUCKETS)
+    assert m["rows_out"] == 20
+    assert store.read_output(spark).count() == 20
