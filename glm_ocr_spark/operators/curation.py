@@ -19,7 +19,7 @@ document granularity for corpus curation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from glm_ocr_spark.operators.norm import norm_text_col, real_words_col
@@ -65,11 +65,15 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
 DECONTAM_NGRAM = 5
 
 
-def ngrams_col(n: int):
+def ngrams_col(n: int, words: Column | None = None):
     """Sliding word n-grams of the normalized non-empty word list as a
     column expression (space-joined strings). Docs with < n words yield an
-    empty array."""
-    words = real_words_col()
+    empty array. Pass `words` as a MATERIALIZED attribute (e.g. the
+    real_words_udf output) when the caller explodes the result — the
+    default expression form re-runs the normalization tree per element
+    (no CSE in lambda bodies)."""
+    if words is None:
+        words = real_words_col()
     return F.when(
         F.size(words) >= n,
         F.transform(
@@ -96,14 +100,19 @@ def decontaminate(docs: DataFrame, benchmark_sources: list[str],
     string for xxhash64(ngram) so only 8-byte keys hit the hash table
     (same key-compression rule as passage_dedup / minhash banding).
     """
-    grams = ngrams_col(n)
+    from glm_ocr_spark.operators.norm import real_words_udf
+
+    grams = ngrams_col(n, words=F.col("ws"))
     bench = (
         docs.filter(F.col("source").isin(benchmark_sources))
+        .select(real_words_udf().alias("ws"))
         .select(F.explode(grams).alias("ng")).distinct()
         .withColumn("hit", F.lit(1))
     )
     corpus = docs.filter(~F.col("source").isin(benchmark_sources))
     doc_grams = corpus.select(
+        "doc_id", real_words_udf().alias("ws")
+    ).select(
         "doc_id", F.explode_outer(grams).alias("ng")
     ).dropDuplicates(["doc_id", "ng"])
     joined = doc_grams.join(F.broadcast(bench), "ng", "left")

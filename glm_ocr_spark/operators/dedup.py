@@ -515,7 +515,11 @@ def passage_dedup(docs: DataFrame,
 
     Returns surviving (doc_id, chunk_idx, passage) rows.
     """
-    words = real_words_col()
+    from glm_ocr_spark.operators.norm import real_words_udf
+
+    # materialize the word array ONCE per doc (Arrow twin) — the chunk
+    # transform references it per chunk and lambda bodies get no CSE
+    words = F.col("ws")
     n_chunks = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
     # guard: Spark sequence(0, -1) generates a DESCENDING [0, -1], so a
     # zero-word doc (whitespace-only text) must short-circuit to no chunks
@@ -529,6 +533,7 @@ def passage_dedup(docs: DataFrame,
     ).otherwise(F.array())
     exploded = (
         docs.filter(F.trim("text") != "")
+        .select("doc_id", real_words_udf().alias("ws"))
         .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "passage"))
     )
     w = Window.partitionBy("passage").orderBy(F.asc("doc_id"),

@@ -18,8 +18,15 @@ must NOT count it — they use `real_words_col`, which filters empties.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Java \s is ASCII-only; match it (re.ASCII) — parity with dedup.shingles_py
+_WS_RE = re.compile(r"\s+", re.ASCII)
 
 
 def norm_text_col(col: str = "text") -> Column:
@@ -38,3 +45,32 @@ def real_words_col(col: str = "text") -> Column:
     """Non-empty normalized words — what word-counting operators mean by
     "words". Empty text (or whitespace-only text) yields a 0-length array."""
     return F.filter(norm_words_col(col), lambda w: w != "")
+
+
+def real_words_py(text: str | None) -> list[str]:
+    """Python mirror of real_words_col (byte-equal; parity-tested): trim
+    spaces only -> collapse ASCII whitespace -> lower -> split -> drop
+    empty tokens."""
+    if not text:
+        return []
+    norm = _WS_RE.sub(" ", text.strip(" ")).lower()
+    return [w for w in norm.split(" ") if w]
+
+
+def real_words_udf():
+    """Arrow-batched twin of real_words_col, for operators that consume
+    the word array MANY times per row (sliding n-grams, passage chunks).
+
+    Why it exists: Catalyst performs no CSE inside higher-order-function
+    lambda bodies and re-inlines producing expressions across collapsed
+    projections, so `transform(seq, i -> f(real_words_col()))` re-runs
+    the whole trim/regex/lower/split/filter tree PER ELEMENT — O(words)
+    regex passes per document. One Arrow pass materializes the array
+    once; downstream slice/concat on the attribute is cheap. (Same
+    lambda-CSE rule as dedup.shingles_udf — see SCALE.md.)
+    """
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _words(s: pd.Series) -> pd.Series:
+        return s.map(real_words_py)
+
+    return _words("text")

@@ -126,3 +126,23 @@ def test_corpus_op_plan_shapes(spark):
         # count data-moving exchanges only (broadcast exchanges move dims)
         n_ex = p.count("Exchange hashpartitioning")
         assert n_ex == 1, p
+
+
+def test_real_words_udf_parity(spark):
+    """The Arrow twin must be byte-equal to the JVM expression on every
+    whitespace edge (trim strips 0x20 only; Java \\s is ASCII-only)."""
+    from glm_ocr_spark.operators.norm import real_words_col, real_words_udf
+
+    texts = ["Hello  World", "\tleading tab", "trailing\n", " nbsp",
+             "  spaces  ", "", None, "A\tB\nC", "mixed　ideographic",
+             "ONE", " x "]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    both = docs.select(
+        "doc_id",
+        real_words_col().alias("jvm"),
+        real_words_udf().alias("arrow"),
+    ).collect()
+    for r in both:
+        jvm = r["jvm"] if r["jvm"] is not None else []
+        assert list(r["arrow"]) == list(jvm), (r["doc_id"], jvm, r["arrow"])
