@@ -366,6 +366,12 @@ def q_c4_filters(spark, sf_dir):
     return c4_filters(_docs(spark, sf_dir))
 
 
+def q_rep_ngram_fractions(spark, sf_dir):
+    from glm_ocr_spark.operators.text_analysis import rep_ngram_fractions
+
+    return rep_ngram_fractions(_docs(spark, sf_dir))
+
+
 def q_curation_pipeline(spark, sf_dir):
     from glm_ocr_spark.operators.curation import curation_pipeline
 
@@ -697,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "c4_filters": q_c4_filters,
         "curation_pipeline": q_curation_pipeline,
+        "rep_ngram_fractions": q_rep_ngram_fractions,
         "mm_media_meta": q_mm_media_meta,
         "mm_frame_sample": q_mm_frame_sample,
         "asof_view_before_purchase": q_asof_view_before_purchase,
@@ -1334,6 +1341,35 @@ def oracle_sql() -> dict[str, str]:
                       AND NOT (contains(lower(text), 'lorem ipsum')
                                OR contains(lower(text), 'javascript')
                                OR contains(lower(text), '{{'))) AS keep
+            FROM m
+        """,
+        # Gopher repetition signals: duplicate-bigram and top-bigram
+        # fractions; constants/structure mirror rep_ngram_fractions
+        "rep_ngram_fractions": f"""
+            WITH w AS (
+              SELECT doc_id, {_WORDS} AS ws FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 2
+                       THEN list_transform(range(len(ws) - 1),
+                            i -> array_to_string(ws[i + 1 : i + 2], ' '))
+                       ELSE []::VARCHAR[] END AS grams
+              FROM w),
+            m AS (
+              SELECT doc_id, len(grams) AS n_ngrams,
+                     len(list_distinct(grams)) AS n_distinct,
+                     CASE WHEN len(grams) > 0 THEN
+                       list_aggregate(list_transform(list_distinct(grams),
+                         x -> len(list_filter(grams, y -> y = x))), 'max')
+                     ELSE 0 END AS top_count
+              FROM g)
+            SELECT doc_id, n_ngrams,
+                   CASE WHEN n_ngrams > 0
+                     THEN round(1.0 - n_distinct / n_ngrams::DOUBLE, 6)
+                     ELSE 0.0 END AS dup_ngram_fraction,
+                   CASE WHEN n_ngrams > 0
+                     THEN round(top_count / n_ngrams::DOUBLE, 6)
+                     ELSE 0.0 END AS top_ngram_fraction
             FROM m
         """,
         # full curation run — stage order (floor -> decontaminate -> dedup

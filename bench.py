@@ -402,6 +402,7 @@ def main() -> None:
         "gopher_quality", "bm25_scores", "quota_per_source",
         "stratified_sample", "passage_dedup", "top_ngrams",
         "pii_scrub", "decontaminate", "c4_filters", "curation_pipeline",
+        "rep_ngram_fractions",
         "q10_returned_items", "q4_priority_with_returns",
         "q6_revenue", "cube_events", "pivot_events", "rollup_events",
         "asof_view_before_purchase", "range_join_views_before_purchase",

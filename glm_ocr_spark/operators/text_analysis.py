@@ -282,3 +282,43 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def rep_ngram_fractions(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher repetition signals per document: the duplicate-n-gram
+    fraction (1 - distinct/total) and the top-n-gram fraction (occurrences
+    of the doc's most frequent n-gram / total), the two rules the Gopher
+    repetition family adds beyond the static quality checks. High values
+    mark looping/boilerplate text a whole-doc hash never catches.
+
+    Word array materialized once (norm.real_words_udf — lambda-CSE rule);
+    the rest is JVM array algebra over the attribute: zero shuffle, scan
+    speed. Tie-break for the top n-gram is max count (value irrelevant —
+    only the count enters the fraction).
+    """
+    from glm_ocr_spark.operators.norm import real_words_udf
+
+    ws = F.col("ws")
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", real_words_udf().alias("ws")) \
+        .select("doc_id", grams.alias("grams"))
+    total = F.size("grams")
+    distinct = F.size(F.array_distinct("grams"))
+    top_count = F.array_max(F.transform(
+        F.array_distinct("grams"),
+        lambda g: F.size(F.filter(F.col("grams"), lambda x: x == g)),
+    ))
+    return base.select(
+        "doc_id",
+        total.alias("n_ngrams"),
+        F.when(total > 0, F.round(1.0 - distinct / total, 6))
+        .otherwise(F.lit(0.0)).alias("dup_ngram_fraction"),
+        F.when(total > 0, F.round(top_count / total, 6))
+        .otherwise(F.lit(0.0)).alias("top_ngram_fraction"),
+    )

@@ -146,3 +146,23 @@ def test_real_words_udf_parity(spark):
     for r in both:
         jvm = r["jvm"] if r["jvm"] is not None else []
         assert list(r["arrow"]) == list(jvm), (r["doc_id"], jvm, r["arrow"])
+
+
+def test_rep_ngram_fractions(spark):
+    from glm_ocr_spark.operators.text_analysis import rep_ngram_fractions
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),      # bigrams: ab,ba,ab,ba,ab -> 5 total, 2 dist
+         (2, "w x y z"),          # 3 bigrams, all distinct
+         (3, "solo"),             # < 2 words -> 0 ngrams
+         (4, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in rep_ngram_fractions(docs).collect()}
+    assert rows[1]["n_ngrams"] == 5
+    assert rows[1]["dup_ngram_fraction"] == 0.6      # 1 - 2/5
+    assert rows[1]["top_ngram_fraction"] == 0.6      # 'a b' x3 / 5
+    assert rows[2]["dup_ngram_fraction"] == 0.0
+    assert rows[2]["top_ngram_fraction"] == round(1 / 3, 6)
+    assert rows[3]["n_ngrams"] == 0
+    assert rows[3]["dup_ngram_fraction"] == 0.0
+    assert rows[4]["n_ngrams"] == 0
