@@ -366,6 +366,20 @@ def q_c4_filters(spark, sf_dir):
     return c4_filters(_docs(spark, sf_dir))
 
 
+def q_q14_promo_revenue(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import q14_promo_revenue
+
+    return q14_promo_revenue(_table(spark, sf_dir, "lineitem"),
+                             _table(spark, sf_dir, "part"))
+
+
+def q_q19_disjunctive_revenue(spark, sf_dir):
+    from glm_ocr_spark.operators.relational import q19_disjunctive_revenue
+
+    return q19_disjunctive_revenue(_table(spark, sf_dir, "lineitem"),
+                                   _table(spark, sf_dir, "part"))
+
+
 def q_rep_ngram_fractions(spark, sf_dir):
     from glm_ocr_spark.operators.text_analysis import rep_ngram_fractions
 
@@ -704,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "curation_pipeline": q_curation_pipeline,
         "rep_ngram_fractions": q_rep_ngram_fractions,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
         "mm_media_meta": q_mm_media_meta,
         "mm_frame_sample": q_mm_frame_sample,
         "asof_view_before_purchase": q_asof_view_before_purchase,
@@ -1342,6 +1358,31 @@ def oracle_sql() -> dict[str, str]:
                                OR contains(lower(text), 'javascript')
                                OR contains(lower(text), '{{'))) AS keep
             FROM m
+        """,
+        "q14_promo_revenue": """
+            SELECT
+              round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0.0 END)
+                    / sum(l_extendedprice * (1 - l_discount)), 4)
+                AS promo_revenue_pct,
+              round(sum(l_extendedprice * (1 - l_discount)), 4)
+                AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              count(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE
+              (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+              OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+              OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30)
         """,
         # Gopher repetition signals: duplicate-bigram and top-bigram
         # fractions; constants/structure mirror rep_ngram_fractions

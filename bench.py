@@ -404,7 +404,8 @@ def main() -> None:
         "pii_scrub", "decontaminate", "c4_filters", "curation_pipeline",
         "rep_ngram_fractions",
         "q10_returned_items", "q4_priority_with_returns",
-        "q6_revenue", "cube_events", "pivot_events", "rollup_events",
+        "q6_revenue", "q14_promo_revenue", "q19_disjunctive_revenue",
+        "cube_events", "pivot_events", "rollup_events",
         "asof_view_before_purchase", "range_join_views_before_purchase",
         "mm_media_meta", "mm_frame_sample",
     ]

@@ -375,3 +375,59 @@ def q4_priority_with_returns(orders: DataFrame, lineitem: DataFrame,
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame,
+                      month_start: str = "1995-09-01",
+                      month_end: str = "1995-10-01") -> DataFrame:
+    """TPC-H Q14 shape: promo-revenue share — a conditional-sum ratio over
+    one broadcast join. The date filter prunes the fact scan before the
+    join; part (the dim) broadcasts; both sums come out of one aggregate
+    pass (no second scan for the denominator)."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter((F.col("l_shipdate") >= F.lit(month_start))
+                        & (F.col("l_shipdate") < F.lit(month_end)))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                              .otherwise(F.lit(0.0))) / F.sum(rev),
+                4).alias("promo_revenue_pct"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+        )
+    )
+
+
+# Q19-style disjunctive predicate triples: (brand, max p_size, qty lo, qty hi)
+Q19_PREDICATES = (
+    ("Brand#1", 5, 1, 11),
+    ("Brand#2", 10, 10, 20),
+    ("Brand#3", 15, 20, 30),
+)
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame,
+                            part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of brand/size/quantity
+    predicate triples (adapted to this schema's columns). The join is an
+    equi-join on partkey with the OR-of-ANDs as a post-join filter —
+    Catalyst pushes the single-table conjuncts (p_size >= 1, brand IN set)
+    into the broadcast side's scan; the fact side never shuffles."""
+    conds = None
+    for brand, size_hi, qty_lo, qty_hi in Q19_PREDICATES:
+        c = ((F.col("p_brand") == brand)
+             & (F.col("p_size") >= 1) & (F.col("p_size") <= size_hi)
+             & (F.col("l_quantity") >= qty_lo)
+             & (F.col("l_quantity") <= qty_hi))
+        conds = c if conds is None else (conds | c)
+    return (
+        lineitem
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(conds)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )

@@ -166,3 +166,23 @@ def test_rep_ngram_fractions(spark):
     assert rows[3]["n_ngrams"] == 0
     assert rows[3]["dup_ngram_fraction"] == 0.0
     assert rows[4]["n_ngrams"] == 0
+
+
+def test_q14_q19_plan_shapes(spark):
+    """Q14/Q19: part broadcasts; the date filter pushes into the lineitem
+    scan (Q14); no cartesian products anywhere."""
+    from glm_ocr_spark.operators.relational import (
+        q14_promo_revenue,
+        q19_disjunctive_revenue,
+    )
+
+    li = spark.read.parquet(f"{SF1}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF1}/part.parquet")
+    p14 = q14_promo_revenue(li, part)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in p14
+    assert "PushedFilters: [" in p14 and "l_shipdate" in p14
+    p19 = q19_disjunctive_revenue(li, part)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in p19
+    assert "CartesianProduct" not in p19
