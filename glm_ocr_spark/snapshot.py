@@ -158,7 +158,10 @@ class SnapshotStore:
         for staging in sorted(groups):
             part = (spark.read.option("basePath", staging)
                     .parquet(*sorted(groups[staging])))
-            df = part if df is None else df.unionByName(part)
+            # allowMissingColumns = Iceberg add-column evolution: files
+            # committed before a column existed read it as NULL
+            df = part if df is None else df.unionByName(
+                part, allowMissingColumns=True)
         return df
 
     # ------------------------------------------------------------ expiry

@@ -236,3 +236,32 @@ def test_merge_upsert_into_empty_table(spark, small_transcripts, tmp_path):
                      n_buckets=N_BUCKETS)
     assert m["rows_out"] == 20
     assert store.read_output(spark).count() == 20
+
+
+def test_schema_evolution_add_column(spark, small_transcripts, tmp_path):
+    """Iceberg add-column semantics: rows committed before a column
+    existed read it as NULL; new rows carry it."""
+    import pyspark.sql.functions as F
+
+    from glm_ocr_spark.snapshot import _staged_parquet_stats
+
+    root = str(tmp_path / "cat")
+    run_with_snapshots(spark, small_transcripts, root, n_buckets=N_BUCKETS)
+    store = SnapshotStore(root)
+    old_count = store.read_output(spark).count()
+
+    # a later writer evolves the schema with a quality-score column
+    evolved = (store.read_output(spark).limit(5)
+               .withColumn("conv_id", F.concat(F.lit("new_"), "conv_id"))
+               .withColumn("quality", F.lit(0.5)))
+    staged = store.staging_dir()
+    evolved.write.mode("overwrite").partitionBy("bucket").parquet(staged)
+    files, rows, nbytes = _staged_parquet_stats(staged)
+    store.commit({999: {"files": files, "rows_out": rows,
+                        "bytes_out": nbytes}})
+
+    out = store.read_output(spark)
+    assert "quality" in out.columns
+    assert out.count() == old_count + 5
+    assert out.filter(F.col("quality").isNull()).count() == old_count
+    assert out.filter("quality = 0.5").count() == 5

@@ -139,3 +139,35 @@ def test_streaming_exact_dedup(spark, transcripts_path, tmp_path):
     hashes = [r["content_hash"] for r in rows]
     assert 0 < len(hashes) <= n_total
     assert len(hashes) == len(set(hashes))  # no duplicate survives a batch
+
+
+def test_curation_ops_are_stream_safe(spark, tmp_path):
+    """pii_scrub / c4_filters are stateless narrow maps, so the exact same
+    operator code runs under Structured Streaming — batch/stream parity on
+    the documents schema (the corpus-curation service shape)."""
+    import shutil
+
+    from glm_ocr_spark.operators.curation import c4_filters, pii_scrub
+
+    src_dir = str(tmp_path / "docs_stream")
+    import os
+    os.makedirs(src_dir)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                src_dir + "/part-0.parquet")
+    batch_docs = spark.read.parquet(src_dir)
+    schema = batch_docs.schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    for name, op in (("pii", pii_scrub), ("c4", c4_filters)):
+        out = op(stream)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory")
+             .queryName(f"curation_{name}")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        got = spark.sql(f"select * from curation_{name}")
+        want = op(batch_docs)
+        assert got.count() == want.count() == batch_docs.count()
+        # spot value parity: identical rows batch vs stream
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
