@@ -352,6 +352,8 @@ def q_pii_scrub(spark, sf_dir):
 
 
 DECONTAM_BENCH_SOURCES = ["src0", "src1"]
+# SQL-literal form for the oracle twins (same single-source rule)
+_BENCH_SRCS = ", ".join(f"'{s}'" for s in DECONTAM_BENCH_SOURCES)
 
 
 def q_decontaminate(spark, sf_dir):
@@ -760,9 +762,17 @@ _NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 # that word-counting operators must not count)
 _WORDS = f"list_filter(string_split({_NORM}, ' '), x -> x != '')"
 
-# PII regex spec, shared verbatim with the Spark side (Java-regex/RE2
-# common subset; see operators/curation.py)
+# Curation spec constants, shared verbatim with the Spark side (single
+# source of truth — re-spelling them as SQL literals is how oracle
+# equality rots: both copies get edited in lockstep and drift together)
 from glm_ocr_spark.operators.curation import (  # noqa: E402
+    C4_BAD_SUBSTRINGS as _C4_BAD,
+    C4_MAX_WORD_CHARS as _C4_MAXWC,
+    C4_MIN_WORDS as _C4_MINW,
+    C4_TERMINAL_PUNCT as _C4_PUNCT,
+    CURATION_MAX_OVERLAP as _CUR_MAXOV,
+    CURATION_MIN_WORDS as _CUR_MINW,
+    CURATION_QUOTA as _CUR_QUOTA,
     EMAIL_PATTERN as _EMAIL_RE,
     PHONE_PATTERN as _PHONE_RE,
 )
@@ -1321,10 +1331,10 @@ def oracle_sql() -> dict[str, str]:
               FROM w WHERE len(ws) >= 5),
             bench AS (
               SELECT DISTINCT ng FROM g
-              WHERE source IN ('src0', 'src1')),
+              WHERE source IN ({_BENCH_SRCS})),
             corpus AS (
               SELECT DISTINCT doc_id, ng FROM g
-              WHERE source NOT IN ('src0', 'src1')),
+              WHERE source NOT IN ({_BENCH_SRCS})),
             cnt AS (
               SELECT c.doc_id, count(b.ng) AS n_overlap
               FROM corpus c LEFT JOIN bench b USING (ng)
@@ -1333,7 +1343,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(cnt.n_overlap, 0)::BIGINT AS n_overlap,
                    coalesce(cnt.n_overlap, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
-            WHERE d.source NOT IN ('src0', 'src1')
+            WHERE d.source NOT IN ({_BENCH_SRCS})
         """,
         # C4-rule mirror: same word split as _WORDS, same constants as
         # operators.curation.C4_*
@@ -1346,17 +1356,19 @@ def oracle_sql() -> dict[str, str]:
                               x -> length(x)), 'max'), 0) AS mwl
               FROM w)
             SELECT doc_id, n_words, mwl AS max_word_len,
-                   regexp_matches(text, '[.!?]\\s*$') AS ok_terminal_punct,
-                   n_words >= 5 AS ok_min_words,
-                   mwl <= 25 AS ok_word_len,
-                   NOT (contains(lower(text), 'lorem ipsum')
-                        OR contains(lower(text), 'javascript')
-                        OR contains(lower(text), '{{')) AS ok_blocklist,
-                   (regexp_matches(text, '[.!?]\\s*$')
-                      AND n_words >= 5 AND mwl <= 25
-                      AND NOT (contains(lower(text), 'lorem ipsum')
-                               OR contains(lower(text), 'javascript')
-                               OR contains(lower(text), '{{'))) AS keep
+                   regexp_matches(text, '{_C4_PUNCT}') AS ok_terminal_punct,
+                   n_words >= {_C4_MINW} AS ok_min_words,
+                   mwl <= {_C4_MAXWC} AS ok_word_len,
+                   NOT (contains(lower(text), '{_C4_BAD[0]}')
+                        OR contains(lower(text), '{_C4_BAD[1]}')
+                        OR contains(lower(text), '{_C4_BAD[2]}'))
+                     AS ok_blocklist,
+                   (regexp_matches(text, '{_C4_PUNCT}')
+                      AND n_words >= {_C4_MINW} AND mwl <= {_C4_MAXWC}
+                      AND NOT (contains(lower(text), '{_C4_BAD[0]}')
+                               OR contains(lower(text), '{_C4_BAD[1]}')
+                               OR contains(lower(text), '{_C4_BAD[2]}')))
+                     AS keep
             FROM m
         """,
         "q14_promo_revenue": """
@@ -1423,7 +1435,8 @@ def oracle_sql() -> dict[str, str]:
             base AS (
               SELECT doc_id, lang, source, text, len(ws) AS n_words
               FROM w
-              WHERE source NOT IN ('src0', 'src1') AND len(ws) >= 30),
+              WHERE source NOT IN ({_BENCH_SRCS})
+                AND len(ws) >= {_CUR_MINW}),
             g AS (
               SELECT doc_id, source,
                      unnest(list_transform(range(len(ws) - 4),
@@ -1432,17 +1445,17 @@ def oracle_sql() -> dict[str, str]:
               FROM w WHERE len(ws) >= 5),
             bench AS (
               SELECT DISTINCT ng FROM g
-              WHERE source IN ('src0', 'src1')),
+              WHERE source IN ({_BENCH_SRCS})),
             corpus AS (
               SELECT DISTINCT doc_id, ng FROM g
-              WHERE source NOT IN ('src0', 'src1')),
+              WHERE source NOT IN ({_BENCH_SRCS})),
             cnt AS (
               SELECT c.doc_id, count(b.ng) AS n_overlap
               FROM corpus c LEFT JOIN bench b USING (ng)
               GROUP BY c.doc_id),
             decon AS (
               SELECT base.* FROM base LEFT JOIN cnt USING (doc_id)
-              WHERE coalesce(cnt.n_overlap, 0) <= 2),
+              WHERE coalesce(cnt.n_overlap, 0) <= {_CUR_MAXOV}),
             fp AS (
               SELECT doc_id, lang, source, n_words,
                      md5({_NORM}) AS fingerprint
@@ -1457,7 +1470,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY source
                                            ORDER BY doc_id) AS qk
               FROM dedup)
-            WHERE qk <= 5
+            WHERE qk <= {_CUR_QUOTA}
         """,
         "mm_media_meta": """
             SELECT doc_id AS media_id,

@@ -65,22 +65,9 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
 DECONTAM_NGRAM = 5
 
 
-def ngrams_col(n: int, words: Column | None = None):
-    """Sliding word n-grams of the normalized non-empty word list as a
-    column expression (space-joined strings). Docs with < n words yield an
-    empty array. Pass `words` as a MATERIALIZED attribute (e.g. the
-    real_words_udf output) when the caller explodes the result — the
-    default expression form re-runs the normalization tree per element
-    (no CSE in lambda bodies)."""
-    if words is None:
-        words = real_words_col()
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+# shared n-gram spec — ONE definition in norm.py (review finding: three
+# hand-inlined copies had crept in across curation/text_analysis)
+from glm_ocr_spark.operators.norm import ngrams_col  # noqa: E402,F401
 
 
 def decontaminate(docs: DataFrame, benchmark_sources: list[str],
@@ -110,11 +97,15 @@ def decontaminate(docs: DataFrame, benchmark_sources: list[str],
         .withColumn("hit", F.lit(1))
     )
     corpus = docs.filter(~F.col("source").isin(benchmark_sources))
+    # per-doc distinct BEFORE the explode (array_distinct is row-local):
+    # a post-explode dropDuplicates([doc_id, ng]) forced an Exchange over
+    # the full exploded n-gram stream plus a second one for the groupBy —
+    # two corpus-wide shuffles where this form needs none (review finding)
     doc_grams = corpus.select(
         "doc_id", real_words_udf().alias("ws")
     ).select(
-        "doc_id", F.explode_outer(grams).alias("ng")
-    ).dropDuplicates(["doc_id", "ng"])
+        "doc_id", F.explode_outer(F.array_distinct(grams)).alias("ng")
+    )
     joined = doc_grams.join(F.broadcast(bench), "ng", "left")
     return (
         joined.groupBy("doc_id")

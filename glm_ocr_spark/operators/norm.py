@@ -74,3 +74,22 @@ def real_words_udf():
         return s.map(real_words_py)
 
     return _words("text")
+
+
+def ngrams_col(n: int, words: Column | None = None) -> Column:
+    """Sliding word n-grams (space-joined strings) of the normalized
+    non-empty word list; < n words yields an empty array. ONE definition
+    shared by decontaminate / top_ngrams / rep_ngram_fractions and their
+    oracles. Pass `words` as a MATERIALIZED attribute (real_words_udf
+    output) when the caller explodes or re-references the result — the
+    default expression form re-runs the normalization tree per element
+    (no CSE in lambda bodies)."""
+    if words is None:
+        words = real_words_col()
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

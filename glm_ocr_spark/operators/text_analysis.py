@@ -264,16 +264,9 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     (norm.real_words_udf): the pure-expression form re-ran the whole
     normalization tree per n-gram element (no CSE in lambda bodies),
     measured 12-19 s -> sub-second at sf0.1."""
-    from glm_ocr_spark.operators.norm import real_words_udf
+    from glm_ocr_spark.operators.norm import ngrams_col, real_words_udf
 
-    ws = F.col("ws")
-    grams = F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - n),
-            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = ngrams_col(n, words=F.col("ws"))
     return (
         docs.filter(F.trim("text") != "")
         .select(real_words_udf().alias("ws"))
@@ -296,24 +289,31 @@ def rep_ngram_fractions(docs: DataFrame, n: int = 2) -> DataFrame:
     speed. Tie-break for the top n-gram is max count (value irrelevant —
     only the count enters the fraction).
     """
-    from glm_ocr_spark.operators.norm import real_words_udf
+    from glm_ocr_spark.operators.norm import ngrams_col, real_words_udf
 
-    ws = F.col("ws")
-    grams = F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - n),
-            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = ngrams_col(n, words=F.col("ws"))
     base = docs.select("doc_id", real_words_udf().alias("ws")) \
         .select("doc_id", grams.alias("grams"))
     total = F.size("grams")
     distinct = F.size(F.array_distinct("grams"))
-    top_count = F.array_max(F.transform(
-        F.array_distinct("grams"),
-        lambda g: F.size(F.filter(F.col("grams"), lambda x: x == g)),
-    ))
+    # max run length over the SORTED gram array = max occurrence count —
+    # O(w log w) per doc. The first form (per-distinct-gram filter scans)
+    # was O(distinct x total): quadratic, minutes on one pathological
+    # 50k-word boilerplate doc — exactly the input this filter targets
+    # (review finding). Accumulator: (prev gram, current run, max run).
+    top_count = F.aggregate(
+        F.array_sort("grams"),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, g: F.when(
+            g == acc["prev"],
+            F.struct(g.alias("prev"), (acc["run"] + 1).alias("run"),
+                     F.greatest(acc["best"], acc["run"] + 1).alias("best")),
+        ).otherwise(
+            F.struct(g.alias("prev"), F.lit(1).alias("run"),
+                     F.greatest(acc["best"], F.lit(1)).alias("best"))),
+        lambda acc: acc["best"],
+    )
     return base.select(
         "doc_id",
         total.alias("n_ngrams"),

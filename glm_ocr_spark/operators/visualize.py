@@ -147,8 +147,12 @@ def with_layout_svg(extracted: DataFrame,
                 return render_layout_svg([])
             pages = json.loads(s)
             regions = pages[0] if pages else []
-            return render_layout_svg(
-                [r for r in regions if r.get("bbox_2d")])
+            # pass the FULL region list: render_layout_svg skips bboxless
+            # regions itself while keeping their positions, so reading-
+            # order numbers and first-seen color indices stay aligned with
+            # the true region list (pre-filtering compacted them — review
+            # finding)
+            return render_layout_svg(regions)
         return js.map(one)
 
     return extracted.withColumn("layout_svg", _render(F.col(json_col)))

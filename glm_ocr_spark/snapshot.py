@@ -342,7 +342,13 @@ def merge_upsert(
 
     from glm_ocr_spark.state import bucket_col
 
-    upd = updates.withColumn("bucket", bucket_col(n_buckets))
+    # localCheckpoint pins the update rows: `updates` is evaluated once,
+    # so a nondeterministic source (limit over multiple partitions) cannot
+    # yield a different row set between the touched-bucket scan and the
+    # staged write (which would commit a bucket with an empty file list
+    # and silently erase it — review finding)
+    upd = (updates.withColumn("bucket", bucket_col(n_buckets))
+           .localCheckpoint(eager=True))
     touched = sorted(r["bucket"] for r in
                      upd.select("bucket").distinct().collect())
     if not touched:
@@ -359,7 +365,10 @@ def merge_upsert(
             target.filter(F.col("bucket").isin(touched))
             .join(upd.select(*key_cols), key_cols, "left_anti")
         )
-        merged = kept.unionByName(upd)
+        # allowMissingColumns: consistent with read_output's add-column
+        # evolution — updates in a pre-evolution schema (or carrying new
+        # columns) NULL-fill instead of failing the CDC path
+        merged = kept.unionByName(upd, allowMissingColumns=True)
     else:
         merged = upd
 
@@ -372,6 +381,12 @@ def merge_upsert(
     for b in touched:
         bdir = os.path.join(staged, f"bucket={b}")
         files, rows, nbytes = _staged_parquet_stats(bdir)
+        if not files:
+            # defensive: committing files=[] for a touched bucket would
+            # erase its pre-merge rows; fail loudly instead
+            raise RuntimeError(
+                f"merge staged no files for touched bucket {b} — "
+                "refusing to commit an empty bucket entry")
         entries[b] = {"files": files, "rows_out": rows, "bytes_out": nbytes}
         rows_total += rows
     sid = store.commit(entries, input_snapshot)
