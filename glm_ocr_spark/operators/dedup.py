@@ -501,17 +501,25 @@ PASSAGE_WORDS = 10
 
 
 def passage_dedup(docs: DataFrame,
-                  passage_words: int = PASSAGE_WORDS) -> DataFrame:
+                  passage_words: int = PASSAGE_WORDS,
+                  hash_keys: bool = False) -> DataFrame:
     """CCNet-style sub-document dedup: split each document into fixed
     `passage_words`-word passages and keep only the FIRST occurrence of
     each distinct passage corpus-wide (first = lowest (doc_id, chunk_idx)).
 
     The shape that removes boilerplate/quoted text a whole-doc hash never
     catches. Chunking is a pure column map (no UDF); the only shuffle is
-    the window partition on the passage text itself — at 100 TB swap the
-    raw passage for its xxhash64 as the partition key so only 8-byte keys
-    ride the exchange (the tail verify-join pattern of minhash applies if
-    hash collisions matter).
+    the window partition on the passage identity.
+
+    `hash_keys=True` is the 100 TB switch: partition the window on
+    xxhash64(passage) so only an 8-byte key rides the exchange sort key
+    instead of the passage text. Two DIFFERENT passages colliding in the
+    64-bit hash would dedupe together — probability ~n^2/2^65 (birthday
+    bound; ~3e-7 even at 10^9 distinct passages), the standard accepted
+    risk for content-defined dedup keys; the exact-verify tail-join
+    pattern of minhash applies if that is not acceptable. Both modes
+    produce identical survivors on collision-free inputs
+    (equivalence-tested).
 
     Returns surviving (doc_id, chunk_idx, passage) rows.
     """
@@ -536,8 +544,9 @@ def passage_dedup(docs: DataFrame,
         .select("doc_id", real_words_udf().alias("ws"))
         .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "passage"))
     )
-    w = Window.partitionBy("passage").orderBy(F.asc("doc_id"),
-                                              F.asc("chunk_idx"))
+    key = F.xxhash64("passage") if hash_keys else F.col("passage")
+    w = Window.partitionBy(key).orderBy(F.asc("doc_id"),
+                                        F.asc("chunk_idx"))
     return (
         exploded.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)

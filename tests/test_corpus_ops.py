@@ -186,3 +186,16 @@ def test_q14_q19_plan_shapes(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in p19
     assert "CartesianProduct" not in p19
+
+
+def test_passage_dedup_hash_keys_equivalence(spark):
+    """The 100 TB key-compression switch (window partitioned on
+    xxhash64(passage) instead of the passage text) must produce the
+    identical survivor set on a collision-free corpus."""
+    from glm_ocr_spark.operators.dedup import passage_dedup
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    plain = {tuple(r) for r in passage_dedup(docs).collect()}
+    hashed = {tuple(r) for r in
+              passage_dedup(docs, hash_keys=True).collect()}
+    assert plain == hashed and len(plain) > 0
