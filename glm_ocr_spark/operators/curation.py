@@ -124,7 +124,12 @@ def decontaminate(docs: DataFrame, benchmark_sources: list[str],
 # mirrors these values.
 C4_MIN_WORDS = 5
 C4_MAX_WORD_CHARS = 25
-C4_TERMINAL_PUNCT = r"[.!?]\s*$"
+# `$` parity trap: Java rlike's `$` matches BEFORE a final Unicode line
+# terminator (U+2028/U+2029/U+0085) while RE2's (DuckDB) `$` only matches
+# true end-of-text, and `\s` is ASCII-only in both engines so it cannot
+# absorb those characters — the class below lists them explicitly so both
+# engines agree on text ending e.g. ". ".
+C4_TERMINAL_PUNCT = "[.!?][\\s\u2028\u2029\u0085]*$"
 C4_BAD_SUBSTRINGS = ("lorem ipsum", "javascript", "{")
 
 
@@ -188,12 +193,15 @@ def curation_pipeline(docs: DataFrame, benchmark_sources: list[str],
       4. per-source quota: keep the first `quota` survivors per source
 
     100 TB shape: one broadcast join (benchmark n-grams), one map-side-
-    partial aggregate on doc_id, then two window shuffles (fingerprint,
-    source). Catalyst pipelines the filters into the scans; nothing is
-    materialized between stages. At 10^12 docs the two windows become the
-    dominant exchanges — both are on high-cardinality keys (no skew by
-    construction: fingerprints are hashes, sources are capped by quota).
+    partial aggregate on doc_id, then the window shuffles. The fingerprint
+    window is hash-keyed (no skew by construction); the source quota is
+    NOT — one crawl domain can be 90% of the corpus — so it runs through
+    `topk_per_key_salted` (two-level salted window, same treatment as
+    `conversation_rollup`'s salted aggregate; round-3 verdict ask #8).
+    Catalyst pipelines the filters into the scans; nothing is materialized
+    between stages.
     """
+    from glm_ocr_spark.operators.relational import topk_per_key_salted
     base = (
         docs.filter(~F.col("source").isin(benchmark_sources))
         .select("doc_id", "lang", "source", "text",
@@ -212,9 +220,6 @@ def curation_pipeline(docs: DataFrame, benchmark_sources: list[str],
         fp.withColumn("rk", F.row_number().over(w_fp))
         .filter(F.col("rk") == 1)
     )
-    w_src = Window.partitionBy("source").orderBy(F.asc("doc_id"))
-    return (
-        dedup.withColumn("qk", F.row_number().over(w_src))
-        .filter(F.col("qk") <= quota)
-        .select("doc_id", "lang", "source", "n_words")
-    )
+    return topk_per_key_salted(
+        dedup, ["source"], "doc_id", quota, rank_name="qk",
+    ).select("doc_id", "lang", "source", "n_words")

@@ -2,21 +2,35 @@
 
 Images/audio/video ride in `binary` columns; all Spark-side machinery
 (schemas, partition-friendly metadata extraction, Arrow batch shapes for
-decode UDFs) is real and tested. The actual media decode is STUBBED — the
-container has no image/audio libraries — behind `decode_image_stub`, which
-either raises NotImplementedError (strict mode) or produces a deterministic
-fake feature vector (test mode). Swapping in PIL/ffmpeg later changes one
-function body, not the pipeline.
+decode UDFs) is real and tested. The actual media decode is feature-gated:
+when PIL is importable (`_pil()`), `extract_media_features` decodes real
+pixel dimensions + a grayscale-histogram feature and `resize_media` does a
+real `Image.resize`; without PIL (this container) the deterministic stubs
+run instead, so the distributed plumbing is exercised end-to-end either
+way. The gate is evaluated on the EXECUTOR (inside the Arrow batch fn),
+which is where the library must exist on a real cluster.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _pil():
+    """PIL.Image if installed, else None — the real-decode feature gate.
+    Import is attempted lazily per process (executor-side), never at
+    module import, so the module loads identically with or without PIL."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -29,6 +43,9 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("mime", T.StringType()),
     T.StructField("byte_len", T.IntegerType()),
     T.StructField("sha1", T.StringType()),
+    # real pixel dims when PIL decodes the payload; NULL on the stub path
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
     T.StructField("feature", T.ArrayType(T.FloatType())),
 ])
 
@@ -67,31 +84,65 @@ def decode_image_stub(payload: bytes, *, fake: bool = True,
     return [b / 255.0 for b in digest[:dim]]
 
 
-def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
-    """mapInPandas over binary payloads -> typed metadata + stub features.
+def decode_image_real(payload: bytes, dim: int = 8):
+    """(width, height, feature) via PIL — the real-decode path behind the
+    feature gate. Feature = dim-bin normalized grayscale histogram
+    (deterministic for a given payload). Returns None on undecodable
+    payloads so callers fall back to the stub."""
+    img_mod = _pil()
+    if img_mod is None or not payload:
+        return None
+    try:
+        with img_mod.open(io.BytesIO(payload)) as im:
+            w, h = im.size
+            hist = im.convert("L").histogram()  # 256 bins
+    except Exception:  # noqa: BLE001 - not an image: stub fallback
+        return None
+    binsz = 256 // dim
+    total = float(sum(hist)) or 1.0
+    feature = [sum(hist[i * binsz:(i + 1) * binsz]) / total
+               for i in range(dim)]
+    return w, h, feature
 
-    Arrow moves the binary column zero-copy into the Python worker; the
-    batch loop is the shape a real decoder needs (bounded memory per batch,
-    no driver collect). Narrow map: no shuffle.
+
+def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas over binary payloads -> typed metadata + features.
+
+    With PIL on the executors, image payloads get real pixel dims + a
+    grayscale-histogram feature; otherwise (this container) the
+    deterministic stub runs and width/height are NULL. Arrow moves the
+    binary column zero-copy into the Python worker; the batch loop is the
+    shape a real decoder needs (bounded memory per batch, no driver
+    collect). Narrow map: no shuffle.
     """
 
     def _batches(batches):
         for pdf in batches:
             payloads = pdf["payload"]
             n = len(pdf)
-            mimes, lens, shas, feats = [], [], [], []
+            mimes, lens, shas, ws, hs, feats = [], [], [], [], [], []
             for i in range(n):
                 p = payloads.iat[i]
                 p = bytes(p) if p is not None else b""
                 mimes.append(sniff_mime(p))
                 lens.append(len(p))
                 shas.append(hashlib.sha1(p).hexdigest())
-                feats.append(decode_image_stub(p, fake=True, dim=dim))
+                real = decode_image_real(p, dim)
+                if real is not None:
+                    ws.append(real[0])
+                    hs.append(real[1])
+                    feats.append(real[2])
+                else:
+                    ws.append(None)
+                    hs.append(None)
+                    feats.append(decode_image_stub(p, fake=True, dim=dim))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "mime": mimes,
                 "byte_len": lens,
                 "sha1": shas,
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
                 "feature": feats,
             })
 
@@ -127,16 +178,36 @@ def resize_image_stub(payload: bytes, target_w: int, target_h: int,
     return bytes(out[:n])
 
 
+def resize_image_real(payload: bytes, target_w: int, target_h: int):
+    """Real PIL resize -> PNG bytes, or None (no PIL / not an image) so
+    callers fall back to the stub."""
+    img_mod = _pil()
+    if img_mod is None or not payload:
+        return None
+    try:
+        with img_mod.open(io.BytesIO(payload)) as im:
+            out = io.BytesIO()
+            im.resize((target_w, target_h)).save(out, format="PNG")
+            return out.getvalue()
+    except Exception:  # noqa: BLE001 - not an image: stub fallback
+        return None
+
+
 def resize_media(media: DataFrame, target_w: int = 64,
                  target_h: int = 64) -> DataFrame:
     """mapInPandas resize: one output row per input, bounded per-batch
-    memory (payload in, resized payload out), narrow map."""
+    memory (payload in, resized payload out), narrow map. Real PIL resize
+    when the executor has PIL and the payload decodes; stub otherwise."""
+
+    def _one(p) -> bytes:
+        p = bytes(p) if p is not None else b""
+        real = resize_image_real(p, target_w, target_h)
+        return real if real is not None else resize_image_stub(
+            p, target_w, target_h)
 
     def _batches(batches):
         for pdf in batches:
-            outs = [resize_image_stub(bytes(p) if p is not None else b"",
-                                      target_w, target_h)
-                    for p in pdf["payload"]]
+            outs = [_one(p) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": outs,

@@ -285,19 +285,59 @@ def moving_value_avg(events: DataFrame,
     )
 
 
+QUOTA_SALTS = 16
+
+
+def topk_per_key_salted(df: DataFrame, key_cols: list[str], order_col: str,
+                        k: int, rank_name: str = "rank",
+                        n_salts: int = QUOTA_SALTS) -> DataFrame:
+    """Keep the k rows with the smallest `order_col` per key, skew-safely.
+
+    A plain `row_number over (partition by key)` sends EVERY row of a hot
+    key to one reducer — the straggler shape when one source dominates a
+    corpus (90%-one-source is a realistic web crawl). Two-level instead:
+
+      1. salt by `pmod(xxhash64(order_col), n_salts)` and take the local
+         top-k within each (key, salt) — the hot key fans out over
+         n_salts reducers, each sorting ~1/n_salts of it;
+      2. re-rank the <= n_salts*k survivors per key globally — the second
+         window's worst partition is n_salts*k rows, a constant.
+
+    Value-identical to the single window when `order_col` is unique per
+    key (ours is doc_id): every global top-k row is its salt group's
+    local top-k, so stage 1 never drops a winner. Same contract as
+    `conversation_rollup`'s salted two-level aggregate (SURVEY §7.3.4).
+    """
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts))
+    w1 = (Window.partitionBy(*key_cols, "_salt")
+          .orderBy(F.asc(order_col)))
+    pruned = (
+        df.withColumn("_salt", salt)
+        .withColumn("_local_rk", F.row_number().over(w1))
+        .filter(F.col("_local_rk") <= k)
+        .drop("_salt", "_local_rk")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(F.asc(order_col))
+    return (
+        pruned.withColumn(rank_name, F.row_number().over(w2))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
 def quota_per_source(docs: DataFrame, max_per_source: int = 3) -> DataFrame:
     """Domain/source quota capping: keep at most N documents per source
     (deterministic: lowest doc_id wins). The standard pre-training
-    anti-domination rule ("no domain may exceed X documents") — one
-    shuffle on source, window-ranked, rank predicate applied before
-    anything downstream, so only survivors flow on.
+    anti-domination rule ("no domain may exceed X documents").
+
+    Skew guard (round-3 verdict ask #8): source is a skewed key by nature
+    — one crawl domain can be 90% of the corpus — so the top-N runs
+    through `topk_per_key_salted` (two-level salted window) instead of a
+    single `partitionBy(source)` window; value-identical, straggler-free.
     """
-    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
-    return (
-        docs.select("doc_id", "source", "lang",
-                    F.row_number().over(w).alias("rank_in_source"))
-        .filter(F.col("rank_in_source") <= max_per_source)
-    )
+    return topk_per_key_salted(
+        docs.select("doc_id", "source", "lang"),
+        ["source"], "doc_id", max_per_source, rank_name="rank_in_source",
+    ).select("doc_id", "source", "lang", "rank_in_source")
 
 
 def stratified_sample(docs: DataFrame, rates: dict[str, float],

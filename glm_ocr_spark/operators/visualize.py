@@ -93,6 +93,11 @@ def render_layout_svg(regions: list[dict], page_w: int = 1000,
         y1 = max(0, min(int(bbox[1]), page_h - 1))
         x2 = max(0, min(int(bbox[2]), page_w - 1))
         y2 = max(0, min(int(bbox[3]), page_h - 1))
+        # reversed corners (x2 < x1 / y2 < y1, possible on inputs that
+        # bypassed the F8 clamp) would emit negative width/height — invalid
+        # SVG per spec; normalize so the rect is always well-formed
+        x1, x2 = min(x1, x2), max(x1, x2)
+        y1, y2 = min(y1, y2), max(y1, y2)
         parts.append(
             f'<rect x="{x1}" y="{y1}" width="{x2 - x1}" '
             f'height="{y2 - y1}" fill="none" stroke="{color}" '

@@ -28,6 +28,15 @@ O(files-per-bucket x history): each manifest carries the full current
 bucket map, copy-on-write from its parent. A production deployment swaps
 this module for real Iceberg without touching callers (the reference
 analogy: apps/backend task DB + portalocker, replaced here by CAS commits).
+
+Deployment constraint (stated, not hidden): the manifest CAS is
+``os.link``, which is atomic only on a POSIX filesystem — so the CATALOG
+(manifests) must live on a local/NFS-POSIX store, and concurrent writers
+are only safe against each other on that one store. Object stores (S3/GS)
+have no atomic create-if-absent link; real Iceberg solves this with a
+catalog service (Hive/REST/Glue) holding the pointer CAS, which is exactly
+what you swap in at deployment. DATA file listing/GC, by contrast, goes
+through ``pyarrow.fs`` and runs unchanged against s3:// / hdfs:// / gs://.
 """
 
 from __future__ import annotations
@@ -83,15 +92,28 @@ class SnapshotStore:
     # ------------------------------------------------------------ commit
 
     def commit(self, bucket_entries: dict[int, dict],
-               input_snapshot: str = "v1") -> int:
+               input_snapshot: str = "v1",
+               n_buckets: int | None = None) -> int:
         """Atomically publish new/updated bucket entries merged over the
         current snapshot. Returns the new snapshot id.
 
         Each entry: {"files": [...], "rows_out": n, "bytes_out": n}.
+        `n_buckets` records the table's bucketing in the manifest (carried
+        forward from the parent when None) so later writers can validate
+        they hash keys with the same layout — a mismatched writer would
+        rewrite the wrong bucket and duplicate keys across two buckets.
         Retries on concurrent-commit collision (CAS loop)."""
         while True:
             cur = self.manifest()
             buckets = dict(cur["buckets"]) if cur else {}
+            recorded_nb = n_buckets if n_buckets is not None else (
+                cur.get("n_buckets") if cur else None)
+            if (cur and cur.get("n_buckets") is not None
+                    and n_buckets is not None
+                    and n_buckets != cur["n_buckets"]):
+                raise ValueError(
+                    f"table is bucketed with n_buckets={cur['n_buckets']}, "
+                    f"commit attempted with n_buckets={n_buckets}")
             now = dt.datetime.now(dt.timezone.utc).isoformat()
             for b, entry in bucket_entries.items():
                 buckets[str(b)] = {**entry, "input_snapshot": input_snapshot,
@@ -101,6 +123,7 @@ class SnapshotStore:
                 "snapshot_id": new_id,
                 "parent": cur["snapshot_id"] if cur else None,
                 "committed_at": now,
+                "n_buckets": recorded_nb,
                 "buckets": buckets,
             }
             tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}.json")
@@ -175,8 +198,15 @@ class SnapshotStore:
         concurrent writer that has not committed yet (Iceberg's
         remove-orphan-files age threshold); production would use hours.
         Readers of kept snapshots are unaffected — their file lists stay
-        intact."""
+        intact.
+
+        The data-file sweep goes through `pyarrow.fs` (like
+        state._partition_stats), so the same GC runs against s3:// /
+        hdfs:// / gs:// data roots; only the manifest CAS itself is
+        POSIX-bound (module docstring)."""
         import time as _time
+
+        from pyarrow import fs as pafs
 
         ids = self._manifest_ids()
         keep_ids = [i for i in ids if i >= keep_from]
@@ -184,26 +214,44 @@ class SnapshotStore:
             raise ValueError("expiry would drop every snapshot")
         referenced: set[str] = set()
         for sid in keep_ids:
-            referenced.update(self.output_files(sid))
+            referenced.update(os.path.abspath(p) if "://" not in p else p
+                              for p in self.output_files(sid))
         now = _time.time()
         removed_files = 0
-        data_root = os.path.join(self.root, "data")
-        for root, _dirs, fs in os.walk(data_root, topdown=False):
-            for f in fs:
-                p = os.path.join(root, f)
-                if p in referenced:
-                    continue
+        fs, data_root = _fs_and_path(os.path.join(self.root, "data"))
+        sel = pafs.FileSelector(data_root, recursive=True,
+                                allow_not_found=True)
+        infos = fs.get_file_info(sel)
+        survivors: set[str] = set()
+        dirs: list[str] = []
+        for info in infos:
+            if info.type == pafs.FileType.Directory:
+                dirs.append(info.path)
+                continue
+            if info.type != pafs.FileType.File:
+                continue
+            p = info.path
+            if p in referenced:
+                survivors.add(p)
+                continue
+            age = (now - info.mtime_ns / 1e9
+                   if info.mtime_ns is not None else float("inf"))
+            if age < min_orphan_age_sec:
+                survivors.add(p)
+                continue
+            try:
+                fs.delete_file(p)
+                removed_files += 1
+            except OSError:
+                survivors.add(p)
+        # drop staging dirs emptied by the sweep (deepest first so nested
+        # partition dirs fall before their parents)
+        for d in sorted(dirs, key=len, reverse=True):
+            if not any(s.startswith(d + "/") for s in survivors):
                 try:
-                    if now - os.path.getmtime(p) < min_orphan_age_sec:
-                        continue
-                    os.unlink(p)
-                    removed_files += 1
+                    fs.delete_dir(d)
                 except OSError:
                     pass
-            try:
-                os.rmdir(root)  # only succeeds when emptied
-            except OSError:
-                pass
         removed_manifests = 0
         for i in ids:
             if i < keep_from:
@@ -226,21 +274,37 @@ class SnapshotStore:
         ]
 
 
-def _staged_parquet_stats(d: str) -> tuple[list[str], int, int]:
-    """(parquet files, rows from footers, bytes) for one staged write."""
-    import pyarrow.parquet as pq
+def _fs_and_path(path: str):
+    """(pyarrow filesystem, normalized path) — s3://, hdfs://, gs:// or
+    local. Mirrors state._partition_stats so all data-file I/O in the
+    snapshot store is object-store-capable; only the manifest CAS is
+    POSIX-bound (module docstring)."""
+    from pyarrow import fs as pafs
 
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
+def _staged_parquet_stats(d: str) -> tuple[list[str], int, int]:
+    """(parquet files, rows from footers, bytes) for one staged write.
+
+    Footer-only reads via `pyarrow.fs` — no data re-scan, runs unchanged
+    against object storage."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    fs, base = _fs_and_path(d)
+    sel = pafs.FileSelector(base, recursive=True, allow_not_found=True)
     files, rows, total = [], 0, 0
-    for root, _dirs, fs in os.walk(d):
-        for f in fs:
-            p = os.path.join(root, f)
-            if f.endswith(".parquet"):
-                files.append(p)
-                rows += pq.ParquetFile(p).metadata.num_rows
-            try:
-                total += os.path.getsize(p)
-            except OSError:
-                pass
+    for info in fs.get_file_info(sel):
+        if info.type != pafs.FileType.File:
+            continue
+        total += info.size or 0
+        if info.path.endswith(".parquet"):
+            files.append(info.path)
+            with fs.open_input_file(info.path) as f:
+                rows += pq.ParquetFile(f).metadata.num_rows
     return sorted(files), rows, total
 
 
@@ -291,7 +355,7 @@ def run_with_snapshots(
             files, rows, nbytes = _staged_parquet_stats(bdir)
             entries[b] = {"files": files, "rows_out": rows,
                           "bytes_out": nbytes}
-        store.commit(entries, input_snapshot)
+        store.commit(entries, input_snapshot, n_buckets=n_buckets)
         commits += 1
         processed += len(batch)
 
@@ -308,7 +372,7 @@ def merge_upsert(
     store: SnapshotStore,
     updates: DataFrame,
     key_cols: list[str],
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     input_snapshot: str = "v1",
     fail_before_commit: bool = False,
 ) -> dict:
@@ -336,11 +400,31 @@ def merge_upsert(
     as the delta vs the jar).
 
     `updates` must carry the output schema (minus `bucket`, computed here
-    from conv_id like every writer). Returns merge stats.
+    from conv_id like every writer). `n_buckets=None` (the default) reads
+    the table's bucketing from the current manifest; passing a value that
+    disagrees with the manifest raises — a mismatched writer would hash an
+    update into a different bucket than the existing row, leaving the key
+    duplicated across two buckets. Duplicate keys *inside* `updates` also
+    raise (real Iceberg MERGE fails validation on multiple matches; a
+    silent union would leave multiple rows per key). Returns merge stats.
     """
     from pyspark.sql import functions as F
 
     from glm_ocr_spark.state import bucket_col
+
+    cur = store.manifest()
+    table_nb = cur.get("n_buckets") if cur else None
+    if n_buckets is None:
+        if table_nb is None:
+            raise ValueError(
+                "n_buckets not recorded in the manifest (pre-upgrade table "
+                "or empty store) — pass it explicitly")
+        n_buckets = table_nb
+    elif table_nb is not None and n_buckets != table_nb:
+        raise ValueError(
+            f"table is bucketed with n_buckets={table_nb}, merge called "
+            f"with n_buckets={n_buckets} — updates would land in the "
+            "wrong buckets")
 
     # localCheckpoint pins the update rows: `updates` is evaluated once,
     # so a nondeterministic source (limit over multiple partitions) cannot
@@ -349,6 +433,13 @@ def merge_upsert(
     # and silently erase it — review finding)
     upd = (updates.withColumn("bucket", bucket_col(n_buckets))
            .localCheckpoint(eager=True))
+    dup = (upd.groupBy(*key_cols).count()
+           .filter(F.col("count") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"updates contain multiple rows for key "
+            f"{tuple(dup[0][k] for k in key_cols)} — MERGE requires at "
+            "most one update row per key")
     touched = sorted(r["bucket"] for r in
                      upd.select("bucket").distinct().collect())
     if not touched:
@@ -389,6 +480,6 @@ def merge_upsert(
                 "refusing to commit an empty bucket entry")
         entries[b] = {"files": files, "rows_out": rows, "bytes_out": nbytes}
         rows_total += rows
-    sid = store.commit(entries, input_snapshot)
+    sid = store.commit(entries, input_snapshot, n_buckets=n_buckets)
     return {"touched_buckets": touched, "rows_out": rows_total,
             "snapshot_id": sid}

@@ -187,3 +187,34 @@ def test_curation_pipeline_plan_shape(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_c4_terminal_punct_line_terminator_parity(spark):
+    """Round-4 advice: Java rlike's `$` matches before a trailing Unicode
+    line terminator (U+2028/U+2029/U+0085) while RE2's `$` does not, and
+    `\\s` is ASCII-only in both — the shared pattern lists the terminators
+    explicitly so both engines agree on text ending with one."""
+    duckdb = pytest.importorskip("duckdb")
+    from pyspark.sql import functions as F
+
+    from glm_ocr_spark.operators.curation import C4_TERMINAL_PUNCT
+
+    cases = [
+        ("ends clean.", True),
+        ("ends clean. ", True),
+        ("no punct", False),
+        ("dot then ls.\u2028", True),
+        ("dot then ps.\u2029", True),
+        ("dot then nel.\u0085", True),
+        ("ls no punct\u2028", False),
+        ("dot then ls then text.\u2028x", False),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], ["text"])
+    got_spark = [r["ok"] for r in df.select(
+        F.col("text").rlike(C4_TERMINAL_PUNCT).alias("ok")).collect()]
+    got_duck = [duckdb.sql(
+        f"SELECT regexp_matches(?, '{C4_TERMINAL_PUNCT}')",
+        params=[t]).fetchone()[0] for t, _ in cases]
+    want = [w for _, w in cases]
+    assert got_spark == want
+    assert got_duck == want

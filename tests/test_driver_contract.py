@@ -40,8 +40,15 @@ def test_every_query_has_callable():
         assert callable(fn), name
 
 
+def test_queries_fit_driver_cap():
+    """The driver checks at most 50 queries per round (r02: 45/45, r03:
+    first 50 of 65) — the advertised surface must fit so every entry gets
+    a CORRECTNESS row in the round it ships (round-3 verdict ask #2)."""
+    assert len(entrymod.queries()) <= 50
+
+
 def test_oracle_sql_keys_subset_of_queries():
-    qs = set(entrymod.queries())
+    qs = set(entrymod.queries()) | set(entrymod.bench_only())
     sqls = set(entrymod.oracle_sql())
     assert sqls <= qs, sqls - qs
 
@@ -49,6 +56,16 @@ def test_oracle_sql_keys_subset_of_queries():
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_query_matches_oracle(spark, duck, name):
     fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    r = compare_query(spark, duck, name, fn, sql, SF_DIR)
+    assert r["match"], r
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.bench_only()))
+def test_bench_only_query_matches_oracle(spark, duck, name):
+    """Demoted queries stay oracle-verified in pytest even though the
+    driver no longer checks them (COVERAGE.md has the demotion notes)."""
+    fn = entrymod.bench_only()[name]
     sql = entrymod.oracle_sql().get(name)
     r = compare_query(spark, duck, name, fn, sql, SF_DIR)
     assert r["match"], r

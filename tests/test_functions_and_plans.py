@@ -122,7 +122,7 @@ def test_approx_count_distinct_error_bound(spark):
 
     sf_dir = "/root/testdata/sf0.01"
     exact = {r["event_type"]: r["n_users"]
-             for r in e.queries()["distinct_users_per_type"](
+             for r in e.bench_only()["distinct_users_per_type"](
                  spark, sf_dir).collect()}
     approx = {r["event_type"]: r["n_users_approx"]
               for r in e.queries()["distinct_users_per_type_approx"](

@@ -265,3 +265,45 @@ def test_schema_evolution_add_column(spark, small_transcripts, tmp_path):
     assert out.count() == old_count + 5
     assert out.filter(F.col("quality").isNull()).count() == old_count
     assert out.filter("quality = 0.5").count() == 5
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, small_transcripts,
+                                                    tmp_path):
+    """Real Iceberg MERGE fails validation when one target row has multiple
+    matching update rows; a silent union would leave duplicate keys."""
+    from glm_ocr_spark.snapshot import merge_upsert
+
+    root = str(tmp_path / "cat")
+    run_with_snapshots(spark, small_transcripts, root, n_buckets=N_BUCKETS)
+    store = SnapshotStore(root)
+    one = store.read_output(spark).limit(1).drop("bucket")
+    dup_updates = one.unionByName(one)
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        merge_upsert(spark, store, dup_updates, ["conv_id", "turn_idx"],
+                     n_buckets=N_BUCKETS)
+
+
+def test_merge_upsert_validates_bucketing(spark, small_transcripts, tmp_path):
+    """A writer hashing with a different n_buckets than the table was
+    written with would duplicate keys across buckets — must raise; and
+    omitting n_buckets derives it from the manifest."""
+    import pyspark.sql.functions as F
+
+    from glm_ocr_spark.snapshot import merge_upsert
+
+    root = str(tmp_path / "cat")
+    run_with_snapshots(spark, small_transcripts, root, n_buckets=N_BUCKETS)
+    store = SnapshotStore(root)
+    assert store.manifest()["n_buckets"] == N_BUCKETS
+    updates = (store.read_output(spark).limit(2).drop("bucket")
+               .withColumn("extracted_text", F.lit("MERGED")))
+    with pytest.raises(ValueError, match="bucketed with n_buckets"):
+        merge_upsert(spark, store, updates, ["conv_id", "turn_idx"],
+                     n_buckets=N_BUCKETS * 2)
+    # n_buckets=None reads the manifest's layout
+    m = merge_upsert(spark, store, updates, ["conv_id", "turn_idx"])
+    assert m["rows_out"] >= 2
+    out = store.read_output(spark)
+    grp = (out.groupBy("conv_id", "turn_idx").count()
+           .filter(F.col("count") > 1).count())
+    assert grp == 0
