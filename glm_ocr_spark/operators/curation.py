@@ -71,7 +71,8 @@ from glm_ocr_spark.operators.norm import ngrams_col  # noqa: E402,F401
 
 
 def decontaminate(docs: DataFrame, benchmark_sources: list[str],
-                  n: int = DECONTAM_NGRAM) -> DataFrame:
+                  n: int = DECONTAM_NGRAM,
+                  hash_keys: bool = False) -> DataFrame:
     """Benchmark decontamination (the GPT-3/Gopher appendix procedure):
     flag every training document that shares any word n-gram with a held
     benchmark set — here the docs whose `source` is in benchmark_sources.
@@ -83,17 +84,32 @@ def decontaminate(docs: DataFrame, benchmark_sources: list[str],
     100 TB shape: the benchmark side (a few thousand eval documents) is
     distinct-reduced and broadcast, so the corpus never shuffles — the
     per-doc explode feeds a broadcast-hash semi-match and a single
-    map-side-partial groupBy(doc_id). At 10^12 docs swap the raw n-gram
-    string for xxhash64(ngram) so only 8-byte keys hit the hash table
-    (same key-compression rule as passage_dedup / minhash banding).
+    map-side-partial groupBy(doc_id). `hash_keys=True` is the 10^12-doc
+    switch: both sides join on xxhash64(ngram) so the broadcast table and
+    the probe stream carry 8-byte keys instead of ~40-byte n-gram strings
+    (~5x smaller broadcast, cheaper probe hashing — same key-compression
+    rule as passage_dedup / minhash banding). A cross-n-gram 64-bit
+    collision can only over-count n_overlap for a doc that already shares
+    the benchmark's vocabulary; probability ~b*g/2^64 per doc (b =
+    benchmark n-grams, g = doc n-grams) — negligible, and flag-biased
+    toward caution. Equivalence on collision-free inputs is tested.
     """
     from glm_ocr_spark.operators.norm import real_words_udf
 
     grams = ngrams_col(n, words=F.col("ws"))
+
+    # key compression happens on the ARRAY before the explode (a generator
+    # cannot nest inside xxhash64(...)): transform to 8-byte hashes
+    # row-locally, then explode longs instead of strings — the exploded
+    # stream itself is already compressed, not just the join key
+    def _keyed(arr):
+        return F.transform(arr, lambda x: F.xxhash64(x)) if hash_keys \
+            else arr
+
     bench = (
         docs.filter(F.col("source").isin(benchmark_sources))
         .select(real_words_udf().alias("ws"))
-        .select(F.explode(grams).alias("ng")).distinct()
+        .select(F.explode(_keyed(grams)).alias("ng")).distinct()
         .withColumn("hit", F.lit(1))
     )
     corpus = docs.filter(~F.col("source").isin(benchmark_sources))
@@ -104,7 +120,8 @@ def decontaminate(docs: DataFrame, benchmark_sources: list[str],
     doc_grams = corpus.select(
         "doc_id", real_words_udf().alias("ws")
     ).select(
-        "doc_id", F.explode_outer(F.array_distinct(grams)).alias("ng")
+        "doc_id",
+        F.explode_outer(_keyed(F.array_distinct(grams))).alias("ng"),
     )
     joined = doc_grams.join(F.broadcast(bench), "ng", "left")
     return (

@@ -307,6 +307,14 @@ def topk_per_key_salted(df: DataFrame, key_cols: list[str], order_col: str,
     key (ours is doc_id): every global top-k row is its salt group's
     local top-k, so stage 1 never drops a winner. Same contract as
     `conversation_rollup`'s salted two-level aggregate (SURVEY §7.3.4).
+
+    Defense in depth: Spark 4's WindowGroupLimit already pushes a
+    map-side Partial rank<=k below each exchange (plan-asserted), so
+    shuffle VOLUME per key is k x map-partitions even unsalted; what the
+    salt adds is bounding the hot key's single-reducer SORT to
+    ~1/n_salts of its rows in stage 1 and to n_salts*k rows in stage 2 —
+    at 10^6 map partitions an unsalted hot source still lands k x 10^6
+    rows on one reducer, the salted form never exceeds n_salts*k.
     """
     salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts))
     w1 = (Window.partitionBy(*key_cols, "_salt")

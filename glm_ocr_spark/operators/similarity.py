@@ -269,6 +269,40 @@ def ivf_topk(emb: DataFrame, query: list[float], k: int = 10,
     ).orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
+def ivf_write_partitioned(emb: DataFrame, path: str,
+                          centroids: np.ndarray) -> None:
+    """Materialize the embedding table partitioned by IVF cell — the
+    100 TB layout: probe-time scans become partition-PRUNED reads (only
+    nprobe of n_cells directories are listed/opened), not filters over a
+    full scan. Train centroids once (`train_ivf_centroids`), persist them
+    with the table, and every later query prunes at the source."""
+    cell = ivf_cell_udf(centroids)
+    (emb.withColumn("cell", cell(F.col("embedding")))
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+
+
+def ivf_topk_partitioned(spark, path: str, query: list[float],
+                         centroids: np.ndarray, k: int = 10,
+                         nprobe: int = IVF_NPROBE,
+                         exclude_id: int | None = None) -> DataFrame:
+    """ANN top-k over an `ivf_write_partitioned` table: the cell filter is
+    a partition filter (shows under PartitionFilters in the scan, touches
+    only nprobe directories) — zero decode of non-probed cells, the
+    property the in-memory `ivf_topk` can only approximate with a
+    post-scan filter."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qv = np.asarray(query, dtype=np.float64)
+    qsim = (qv / np.linalg.norm(qv)) @ cn.T
+    probes = [int(i) for i in np.argsort(-qsim)[:nprobe]]
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    return cand.select(
+        "vec_id",
+        F.round(cosine_sim_col(F.col("embedding"), query), 6).alias("cos_sim"),
+    ).orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
 def neardup_params(threshold: float, target_miss: float = 0.005,
                    max_bands: int = 32) -> tuple[int, int]:
     """(bands, planes_per_band) for a target per-pair miss probability at a

@@ -121,11 +121,20 @@ def test_corpus_op_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" in bm25 or "BroadcastExchange" in bm25
     assert "SortMergeJoin" not in bm25
 
-    for df in (quota_per_source(docs, 3), passage_dedup(docs)):
-        p = _plan(df)
-        # count data-moving exchanges only (broadcast exchanges move dims)
-        n_ex = p.count("Exchange hashpartitioning")
-        assert n_ex == 1, p
+    # passage_dedup: exactly one data-moving exchange (the passage window)
+    p = _plan(passage_dedup(docs))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+    # quota_per_source (salted two-level, round-4): two exchanges by
+    # design — the first spreads a hot source over (source, salt), the
+    # second moves only the <= n_salts*k pruned survivors per source.
+    # Both stages must ALSO show WindowGroupLimit's map-side Partial
+    # top-k BELOW the exchange (Spark 4 pushes rank<=k pre-shuffle), so
+    # even the salted exchanges carry k rows per group per map partition.
+    q = _plan(quota_per_source(docs, 3))
+    assert q.count("Exchange hashpartitioning") == 2, q
+    assert q.count("WindowGroupLimit") >= 2, q
+    assert "Partial" in q, q
 
 
 def test_real_words_udf_parity(spark):
@@ -199,3 +208,21 @@ def test_passage_dedup_hash_keys_equivalence(spark):
     hashed = {tuple(r) for r in
               passage_dedup(docs, hash_keys=True).collect()}
     assert plain == hashed and len(plain) > 0
+
+
+def test_decontaminate_hash_keys_equivalence(spark):
+    """The decontamination key-compression switch (join on xxhash64(ngram)
+    instead of the n-gram string) must produce identical overlap counts on
+    a collision-free corpus, and the benchmark side must still broadcast."""
+    from glm_ocr_spark.operators.curation import decontaminate
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    bench_sources = ["src0", "src1"]
+    plain = {tuple(r) for r in decontaminate(docs, bench_sources).collect()}
+    hashed = {tuple(r) for r in
+              decontaminate(docs, bench_sources, hash_keys=True).collect()}
+    assert plain == hashed and len(plain) > 0
+    p = decontaminate(docs, bench_sources, hash_keys=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "xxhash64" in p
