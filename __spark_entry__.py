@@ -274,6 +274,20 @@ NEARDUP_PLANT_N = 5
 NEARDUP_PLANT_OFFSET = 1_000_000
 
 
+def _checked_plant_offset(emb) -> int:
+    """The planted vec_ids must not collide with real ones: assert the
+    corpus stays below the offset (2,000 vectors at sf0.1; the assert
+    fires long before any realistic sf) rather than silently producing
+    duplicate ids whose pair semantics would be ambiguous."""
+    mx = emb.agg(F.max("vec_id")).first()[0] or 0
+    if mx >= NEARDUP_PLANT_OFFSET:
+        raise ValueError(
+            f"embeddings corpus max vec_id {mx} >= plant offset "
+            f"{NEARDUP_PLANT_OFFSET}; raise NEARDUP_PLANT_OFFSET (and its "
+            "mirror in the emb_neardup_strict oracle SQL)")
+    return NEARDUP_PLANT_OFFSET
+
+
 def _emb_with_planted_neardups(emb):
     """Deterministically graft near-duplicate embeddings onto the corpus:
     for vec_id v in 0..4, plant vec_id v+1,000,000 with embedding
@@ -294,10 +308,11 @@ def _emb_with_planted_neardups(emb):
     b = base.filter(
         (F.col("vec_id") >= NEARDUP_PLANT_N)
         & (F.col("vec_id") < 2 * NEARDUP_PLANT_N)).alias("b")
+    offset = _checked_plant_offset(emb)
     planted = (
         a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + NEARDUP_PLANT_N)
         .select(
-            (F.col("a.vec_id") + NEARDUP_PLANT_OFFSET).alias("vec_id"),
+            (F.col("a.vec_id") + offset).alias("vec_id"),
             F.zip_with("a.embedding", "b.embedding",
                        lambda x, y: F.lit(3.0) * x + y).alias("embedding"),
         ))

@@ -141,12 +141,14 @@ def decontaminate(docs: DataFrame, benchmark_sources: list[str],
 # mirrors these values.
 C4_MIN_WORDS = 5
 C4_MAX_WORD_CHARS = 25
-# `$` parity trap: Java rlike's `$` matches BEFORE a final Unicode line
-# terminator (U+2028/U+2029/U+0085) while RE2's (DuckDB) `$` only matches
-# true end-of-text, and `\s` is ASCII-only in both engines so it cannot
-# absorb those characters — the class below lists them explicitly so both
-# engines agree on text ending e.g. ". ".
-C4_TERMINAL_PUNCT = "[.!?][\\s\u2028\u2029\u0085]*$"
+# `$` parity traps, listed explicitly so both engines agree:
+# - Java rlike's `$` matches BEFORE a final Unicode line terminator
+#   (U+2028/U+2029/U+0085) while RE2's (DuckDB) `$` only matches true
+#   end-of-text, and neither engine's `\s` absorbs those characters;
+# - Java `\s` = [ \t\n\x0B\f\r] INCLUDES vertical tab but RE2's
+#   `\s` = [\t\n\f\r ] does NOT — so \x0B is listed too, making
+#   RE2 absorb a trailing period+VT exactly like Java already does.
+C4_TERMINAL_PUNCT = "[.!?][\\s\u000b\u2028\u2029\u0085]*$"
 C4_BAD_SUBSTRINGS = ("lorem ipsum", "javascript", "{")
 
 

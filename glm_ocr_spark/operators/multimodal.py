@@ -22,15 +22,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+_PIL_CACHE: list = []
+
+
 def _pil():
     """PIL.Image if installed, else None — the real-decode feature gate.
     Import is attempted lazily per process (executor-side), never at
-    module import, so the module loads identically with or without PIL."""
-    try:
-        from PIL import Image
-        return Image
-    except ImportError:
-        return None
+    module import, so the module loads identically with or without PIL.
+    The result (including a FAILED import — Python does not cache those)
+    is memoized: without memoization every row in the Arrow batch loop
+    would pay a full sys.path finder scan on PIL-less executors."""
+    if not _PIL_CACHE:
+        try:
+            from PIL import Image
+            _PIL_CACHE.append(Image)
+        except ImportError:
+            _PIL_CACHE.append(None)
+    return _PIL_CACHE[0]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),

@@ -316,6 +316,11 @@ def topk_per_key_salted(df: DataFrame, key_cols: list[str], order_col: str,
     at 10^6 map partitions an unsalted hot source still lands k x 10^6
     rows on one reducer, the salted form never exceeds n_salts*k.
     """
+    clash = {"_salt", "_local_rk", rank_name} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"topk_per_key_salted would clobber existing column(s) "
+            f"{sorted(clash)} — rename them or pass a different rank_name")
     salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts))
     w1 = (Window.partitionBy(*key_cols, "_salt")
           .orderBy(F.asc(order_col)))

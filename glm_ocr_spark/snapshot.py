@@ -212,13 +212,21 @@ class SnapshotStore:
         keep_ids = [i for i in ids if i >= keep_from]
         if not keep_ids:
             raise ValueError("expiry would drop every snapshot")
+        fs, data_root = _fs_and_path(os.path.join(self.root, "data"))
+        local = isinstance(fs, pafs.LocalFileSystem)
+        # Normalize manifest paths the same way the listing produces them:
+        # local roots list as absolute POSIX paths (abspath matches both
+        # the os.walk-era manifests and the pyarrow-era ones); non-local
+        # roots list scheme-less ("bucket/cat/data/…"), exactly what
+        # _staged_parquet_stats recorded — abspath-ing those would make
+        # every live file look like an orphan (review finding).
         referenced: set[str] = set()
         for sid in keep_ids:
-            referenced.update(os.path.abspath(p) if "://" not in p else p
-                              for p in self.output_files(sid))
+            referenced.update(
+                os.path.abspath(p) if local and "://" not in p else p
+                for p in self.output_files(sid))
         now = _time.time()
         removed_files = 0
-        fs, data_root = _fs_and_path(os.path.join(self.root, "data"))
         sel = pafs.FileSelector(data_root, recursive=True,
                                 allow_not_found=True)
         infos = fs.get_file_info(sel)
@@ -234,8 +242,13 @@ class SnapshotStore:
             if p in referenced:
                 survivors.add(p)
                 continue
-            age = (now - info.mtime_ns / 1e9
-                   if info.mtime_ns is not None else float("inf"))
+            if info.mtime_ns is not None:
+                age = now - info.mtime_ns / 1e9
+            else:
+                # unknown mtime: only deletable when the caller asked for
+                # no age protection at all — never assume "old enough"
+                # (the in-flight-writer guard must fail safe)
+                age = float("inf") if min_orphan_age_sec <= 0 else -1.0
             if age < min_orphan_age_sec:
                 survivors.add(p)
                 continue
@@ -244,14 +257,23 @@ class SnapshotStore:
                 removed_files += 1
             except OSError:
                 survivors.add(p)
-        # drop staging dirs emptied by the sweep (deepest first so nested
-        # partition dirs fall before their parents)
+        # Drop staging dirs emptied by the sweep (deepest first so nested
+        # partition dirs fall before their parents). pyarrow delete_dir is
+        # RECURSIVE, so re-list each candidate immediately before deleting
+        # — a concurrent writer may have staged files after our snapshot
+        # listing, and blind delete_dir would destroy them (the age
+        # threshold protects files, this re-check protects the dir sweep).
         for d in sorted(dirs, key=len, reverse=True):
-            if not any(s.startswith(d + "/") for s in survivors):
-                try:
-                    fs.delete_dir(d)
-                except OSError:
-                    pass
+            if any(s.startswith(d + "/") for s in survivors):
+                continue
+            recheck = fs.get_file_info(
+                pafs.FileSelector(d, recursive=True, allow_not_found=True))
+            if any(i.type == pafs.FileType.File for i in recheck):
+                continue
+            try:
+                fs.delete_dir(d)
+            except OSError:
+                pass
         removed_manifests = 0
         for i in ids:
             if i < keep_from:

@@ -208,6 +208,10 @@ def test_c4_terminal_punct_line_terminator_parity(spark):
         ("dot then nel.\u0085", True),
         ("ls no punct\u2028", False),
         ("dot then ls then text.\u2028x", False),
+        # Java \\s includes \\x0B (vertical tab), RE2's does not — the
+        # class lists it explicitly so both absorb a trailing period+VT
+        ("dot then vt.\u000b", True),
+        ("vt no punct\u000b", False),
     ]
     df = spark.createDataFrame([(t,) for t, _ in cases], ["text"])
     got_spark = [r["ok"] for r in df.select(

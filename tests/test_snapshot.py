@@ -307,3 +307,23 @@ def test_merge_upsert_validates_bucketing(spark, small_transcripts, tmp_path):
     grp = (out.groupBy("conv_id", "turn_idx").count()
            .filter(F.col("count") > 1).count())
     assert grp == 0
+
+
+def test_expire_respects_orphan_age(spark, small_transcripts, tmp_path):
+    """A freshly staged (uncommitted) file must survive GC when it is
+    younger than min_orphan_age_sec — the protection for an in-flight
+    concurrent writer (age read via pyarrow.fs mtime)."""
+    root = str(tmp_path / "cat")
+    run_with_snapshots(spark, small_transcripts, root, n_buckets=4)
+    store = SnapshotStore(root)
+    staged = store.staging_dir()
+    orphan = os.path.join(staged, "inflight.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not yet committed")
+    res = store.expire_snapshots(keep_from=store.current_id(),
+                                 min_orphan_age_sec=3600)
+    assert os.path.exists(orphan), res
+    res2 = store.expire_snapshots(keep_from=store.current_id(),
+                                  min_orphan_age_sec=0)
+    assert not os.path.exists(orphan)
+    assert res2["removed_files"] >= 1
