@@ -298,7 +298,26 @@ def write_bench_md(result: dict) -> None:
             "the recommended approximate path; `ann_lsh_topk` uses "
             "margin-ordered multi-probe (96 of 256 buckets, ~38% scanned) "
             "— sign-LSH recall is inherently limited on this corpus "
-            "(nearest neighbors sit at cos ~0.3).",
+            "(nearest neighbors sit at cos ~0.3). `ann_lsh_topk` is "
+            "bench-only (not an advertised query) as of round 4.",
+        ]
+    curve = result.get("ivf_curve") or {}
+    if curve:
+        lines += [
+            "",
+            "### IVF recall vs scan fraction (128 cells, the tuning curve)",
+            "",
+            "| nprobe | recall@10 | scan fraction |",
+            "| --- | --- | --- |",
+        ] + [
+            f"| {np_} | {v['recall_at_10']} | {v['scan_fraction']} |"
+            for np_, v in sorted(curve.items(), key=lambda kv: int(kv[0]))
+        ] + [
+            "",
+            "With the table written `partitionBy(cell)` "
+            "(`ivf_write_partitioned`), scan fraction is partition-PRUNED "
+            "I/O, not post-scan filtering — nprobe is the knob trading "
+            "recall for bytes read at 100 TB.",
         ]
     lines += [
         "",
@@ -467,6 +486,41 @@ def main() -> None:
         for name, ids in ann_results.items() if name != "ann_cosine_topk"
     }
 
+    # IVF recall-vs-scan tradeoff curve: the number a 100 TB deployment
+    # tunes (each probe level scans nprobe/n_cells of the corpus when the
+    # table is written partitionBy(cell) — see ivf_write_partitioned).
+    from glm_ocr_spark.operators.similarity import (
+        ivf_cell_udf,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import functions as SF
+    emb_all = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb_all.filter("vec_id = 0").head()
+    qvec = [float(v) for v in qrow["embedding"]]
+    cents = train_ivf_centroids(emb_all)
+    cell_counts = {
+        r["cell"]: r["count"]
+        for r in emb_all.withColumn(
+            "cell", ivf_cell_udf(cents)(SF.col("embedding")))
+        .groupBy("cell").count().collect()
+    }
+    n_total = sum(cell_counts.values())
+    ivf_curve = {}
+    import numpy as _np
+    cn = cents / _np.linalg.norm(cents, axis=1, keepdims=True)
+    qv = _np.asarray(qvec) / _np.linalg.norm(qvec)
+    order = _np.argsort(-(qv @ cn.T))
+    for nprobe in (8, 16, 32, 64):
+        ids = {r["vec_id"] for r in ivf_topk(
+            emb_all, qvec, k=10, centroids=cents, nprobe=nprobe,
+            exclude_id=0).collect()}
+        scanned = sum(cell_counts.get(int(c), 0) for c in order[:nprobe])
+        ivf_curve[nprobe] = {
+            "recall_at_10": round(len(exact & ids) / max(1, len(exact)), 3),
+            "scan_fraction": round(scanned / max(1, n_total), 3),
+        }
+
     # candidate-pair ratio of the two near-dup LSH regimes: the number that
     # decides whether a threshold regime prunes (scale-viable) or degenerates
     # to all-pairs. Weak demo (t=0.5, 16x3) vs production (t=0.9, 32x12).
@@ -529,6 +583,7 @@ def main() -> None:
         # aggregation (a few KB); payloads never cross the wire
         "extract_shuffle": extract_shuffle,
         "passage_dedup_shuffle": passage_dedup_shuffle,
+        "ivf_curve": ivf_curve,
         "scaling": scaling,
     }
     write_bench_md(result)
