@@ -80,9 +80,12 @@ def parse_page_size(payload: str) -> tuple[float, float]:
     return float(PAGE_WIDTH), float(PAGE_HEIGHT)
 
 
-def link_density(fragment: str) -> float:
-    """Fraction of visible characters inside <a> anchors (Arc90-style)."""
-    total = len(_TAG_STRIP_RE.sub("", fragment))
+def link_density(fragment: str, visible: str | None = None) -> float:
+    """Fraction of visible characters inside <a> anchors (Arc90-style).
+    `visible` is the precomputed tag-stripped fragment (identical regex) —
+    segment() computes it once per block instead of 3x."""
+    total = len(_TAG_STRIP_RE.sub("", fragment) if visible is None
+                else visible)
     if total == 0:
         return 0.0
     linked = sum(len(_TAG_STRIP_RE.sub("", m.group(1)))
@@ -90,20 +93,24 @@ def link_density(fragment: str) -> float:
     return min(1.0, linked / total)
 
 
-def plain_block_score(fragment: str) -> float:
+def plain_block_score(fragment: str, visible: str | None = None) -> float:
     """Deterministic Arc90/trafilatura-style confidence for a DOM block:
     longer text scores higher, link-heavy text scores lower."""
-    text = _TAG_STRIP_RE.sub("", fragment).strip()
-    n = len(text)
+    if visible is None:
+        visible = _TAG_STRIP_RE.sub("", fragment)
+    n = len(visible.strip())
     if n == 0:
         return 0.05
-    score = 0.45 + 0.12 * math.log10(n) - 0.8 * link_density(fragment)
+    score = (0.45 + 0.12 * math.log10(n)
+             - 0.8 * link_density(fragment, visible))
     return round(min(0.99, max(0.05, score)), 4)
 
 
-def _classify_plain(tag: str | None, fragment: str) -> str:
+def _classify_plain(tag: str | None, fragment: str,
+                    visible: str | None = None) -> str:
     """Infer a 25-class label for a plain-DOM block."""
-    inner = _TAG_STRIP_RE.sub("", fragment).strip()
+    inner = (_TAG_STRIP_RE.sub("", fragment) if visible is None
+             else visible).strip()
     if tag == "img" or (tag is None and fragment.lstrip().startswith("<img")):
         return "image"
     if tag in _TAG_LABEL:
@@ -194,8 +201,9 @@ def segment(payload: str) -> tuple[float, float, list[Block]]:
         return page_w, page_h, []
     for k, (tag, start, end) in enumerate(pieces):
         fragment = payload[start:end]
-        label = _classify_plain(tag, fragment)
-        score = plain_block_score(fragment)
+        visible = _TAG_STRIP_RE.sub("", fragment)
+        label = _classify_plain(tag, fragment, visible)
+        score = plain_block_score(fragment, visible)
         y1 = (k * 1000.0) / n
         y2 = y1 + max(1.0, 1000.0 / n - 5.0)
         blocks.append(Block(
