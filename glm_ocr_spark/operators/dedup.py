@@ -286,10 +286,14 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
     s2 = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
     common = F.size(F.array_intersect("sh1", "sh2"))
     jac = common / (F.size("sh1") + F.size("sh2") - common)
+    # materialize the O(shingles) Jaccard once before filtering on it —
+    # no Catalyst CSE across the Filter/Project boundary (SCALE.md,
+    # round-4 rule; same fix as embedding_neardup_pairs)
     return (
         cands.join(s1, "id1").join(s2, "id2")
-        .filter(jac >= threshold)
-        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+        .withColumn("_jac", jac)
+        .filter(F.col("_jac") >= threshold)
+        .select("id1", "id2", F.round("_jac", 6).alias("jaccard"))
     )
 
 
