@@ -287,8 +287,9 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
     common = F.size(F.array_intersect("sh1", "sh2"))
     jac = common / (F.size("sh1") + F.size("sh2") - common)
     # materialize the O(shingles) Jaccard once before filtering on it —
-    # no Catalyst CSE across the Filter/Project boundary (SCALE.md,
-    # round-4 rule; same fix as embedding_neardup_pairs)
+    # Filter/Project expression reuse is a codegen optimization, not a
+    # plan guarantee (SCALE.md round-4 note; same structural fix as
+    # embedding_neardup_pairs)
     return (
         cands.join(s1, "id1").join(s2, "id2")
         .withColumn("_jac", jac)

@@ -379,11 +379,11 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.5,
     sim = _dot(F.col("emb1"), F.col("emb2")) / (
         _norm(F.col("emb1")) * _norm(F.col("emb2")))
     # materialize the cosine ONCE via withColumn before filtering on it:
-    # Catalyst does not common-subexpression-eliminate the O(dim) fold
-    # across a Filter and the downstream Project, so the filter(sim)/
-    # select(round(sim)) form evaluated the full dot product twice per
-    # candidate pair — measured 1.86x slower on the sf0.1 verify stage
-    # (22.9s -> 12.4s, identical output)
+    # expression reuse across a Filter and the downstream Project is left
+    # to whole-stage codegen's subexpression elimination (a runtime
+    # optimization, not a plan guarantee) — this form makes single
+    # evaluation of the O(dim) fold structural. Interleaved A/B on the
+    # sf0.1 verify stage: 11.7s vs 13.1s (identical output; SCALE.md)
     return (
         cands.join(e1, "id1").join(e2, "id2")
         .withColumn("_cos", sim)
