@@ -587,7 +587,29 @@ def main() -> None:
         "scaling": scaling,
     }
     write_bench_md(result)
-    print(json.dumps(result))
+    # Full nested result for humans/history (scaling table, ANN curve,
+    # shuffle A/Bs) — too big for the driver's stdout-tail capture.
+    with open(os.path.join(REPO, "BENCH_full.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    # The driver records only the LAST ~2,000 chars of stdout and parses the
+    # final line; round 4's full dump truncated to garbage ("parsed": null).
+    # Print a compact summary (< 1,900 chars) as the final line instead.
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": {k: round(v, 2) for k, v in queries_sec.items()},
+        "turns_per_sec": result["turns_per_sec"],
+        "scaling_efficiency_4_to_16": (scaling or {}).get("efficiency"),
+        "scaling_raw_8_to_32": (scaling or {}).get("efficiency_8_to_32"),
+        "full": "BENCH_full.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never let the tail capture truncate mid-line
+        compact["queries"] = {"see": "BENCH_full.json"}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -92,6 +92,21 @@ def decode_image_stub(payload: bytes, *, fake: bool = True,
     return [b / 255.0 for b in digest[:dim]]
 
 
+def hist_feature(hist: list[int], dim: int) -> list[float]:
+    """dim-bin normalized rollup of a 256-bin grayscale histogram.
+
+    Ceiling division so every one of the 256 histogram bins lands in
+    exactly one feature slot: floor (256 // dim) silently dropped the
+    tail bins for dim not dividing 256 (feature no longer summed to 1)
+    and produced an all-zero feature for dim > 256 (review finding).
+    PIL-free on purpose so the binning is unit-testable in this
+    container; `decode_image_real` is the PIL-gated caller."""
+    binsz = -(-256 // dim)
+    total = float(sum(hist)) or 1.0
+    return [sum(hist[i * binsz:(i + 1) * binsz]) / total
+            for i in range(dim)]
+
+
 def decode_image_real(payload: bytes, dim: int = 8):
     """(width, height, feature) via PIL — the real-decode path behind the
     feature gate. Feature = dim-bin normalized grayscale histogram
@@ -106,11 +121,7 @@ def decode_image_real(payload: bytes, dim: int = 8):
             hist = im.convert("L").histogram()  # 256 bins
     except Exception:  # noqa: BLE001 - not an image: stub fallback
         return None
-    binsz = 256 // dim
-    total = float(sum(hist)) or 1.0
-    feature = [sum(hist[i * binsz:(i + 1) * binsz]) / total
-               for i in range(dim)]
-    return w, h, feature
+    return w, h, hist_feature(hist, dim)
 
 
 def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:

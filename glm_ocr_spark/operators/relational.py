@@ -290,22 +290,32 @@ QUOTA_SALTS = 16
 
 def topk_per_key_salted(df: DataFrame, key_cols: list[str], order_col: str,
                         k: int, rank_name: str = "rank",
-                        n_salts: int = QUOTA_SALTS) -> DataFrame:
+                        n_salts: int = QUOTA_SALTS,
+                        tie_cols: list[str] | None = None) -> DataFrame:
     """Keep the k rows with the smallest `order_col` per key, skew-safely.
+
+    CONTRACT (parameter-level, not prose): the effective ordering
+    `(order_col, *tie_cols)` MUST be unique within every key. Two-level
+    salting is value-identical to a single window ONLY under that
+    uniqueness — with duplicate order values a salt boundary can split a
+    tie group and stage 1 would silently drop rows a single window could
+    rank within k (review finding). Pass `tie_cols` (e.g. a unique id)
+    whenever `order_col` alone can tie; call sites with a naturally
+    unique order column (ours is doc_id) may omit it.
 
     A plain `row_number over (partition by key)` sends EVERY row of a hot
     key to one reducer — the straggler shape when one source dominates a
     corpus (90%-one-source is a realistic web crawl). Two-level instead:
 
-      1. salt by `pmod(xxhash64(order_col), n_salts)` and take the local
-         top-k within each (key, salt) — the hot key fans out over
-         n_salts reducers, each sorting ~1/n_salts of it;
+      1. salt by `pmod(xxhash64(order_col, *tie_cols), n_salts)` and take
+         the local top-k within each (key, salt) — the hot key fans out
+         over n_salts reducers, each sorting ~1/n_salts of it;
       2. re-rank the <= n_salts*k survivors per key globally — the second
          window's worst partition is n_salts*k rows, a constant.
 
-    Value-identical to the single window when `order_col` is unique per
-    key (ours is doc_id): every global top-k row is its salt group's
-    local top-k, so stage 1 never drops a winner. Same contract as
+    Value-identical to the single window when `(order_col, *tie_cols)` is
+    unique per key: every global top-k row is its salt group's local
+    top-k, so stage 1 never drops a winner. Same contract as
     `conversation_rollup`'s salted two-level aggregate (SURVEY §7.3.4).
 
     Defense in depth: Spark 4's WindowGroupLimit already pushes a
@@ -321,16 +331,20 @@ def topk_per_key_salted(df: DataFrame, key_cols: list[str], order_col: str,
         raise ValueError(
             f"topk_per_key_salted would clobber existing column(s) "
             f"{sorted(clash)} — rename them or pass a different rank_name")
-    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts))
+    ties = list(tie_cols or [])
+    order_exprs = [F.asc(order_col)] + [F.asc(c) for c in ties]
+    salt = F.pmod(
+        F.xxhash64(F.col(order_col), *[F.col(c) for c in ties]),
+        F.lit(n_salts))
     w1 = (Window.partitionBy(*key_cols, "_salt")
-          .orderBy(F.asc(order_col)))
+          .orderBy(*order_exprs))
     pruned = (
         df.withColumn("_salt", salt)
         .withColumn("_local_rk", F.row_number().over(w1))
         .filter(F.col("_local_rk") <= k)
         .drop("_salt", "_local_rk")
     )
-    w2 = Window.partitionBy(*key_cols).orderBy(F.asc(order_col))
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_exprs)
     return (
         pruned.withColumn(rank_name, F.row_number().over(w2))
         .filter(F.col(rank_name) <= k)

@@ -36,7 +36,9 @@ are only safe against each other on that one store. Object stores (S3/GS)
 have no atomic create-if-absent link; real Iceberg solves this with a
 catalog service (Hive/REST/Glue) holding the pointer CAS, which is exactly
 what you swap in at deployment. DATA file listing/GC, by contrast, goes
-through ``pyarrow.fs`` and runs unchanged against s3:// / hdfs:// / gs://.
+through ``pyarrow.fs`` and runs unchanged against s3:// / hdfs:// / gs://;
+manifests record data files as scheme-full URIs so ``read_output`` can
+hand them straight to ``spark.read.parquet`` on those stores too.
 """
 
 from __future__ import annotations
@@ -217,13 +219,15 @@ class SnapshotStore:
         # Normalize manifest paths the same way the listing produces them:
         # local roots list as absolute POSIX paths (abspath matches both
         # the os.walk-era manifests and the pyarrow-era ones); non-local
-        # roots list scheme-less ("bucket/cat/data/…"), exactly what
-        # _staged_parquet_stats recorded — abspath-ing those would make
-        # every live file look like an orphan (review finding).
+        # roots list scheme-less ("bucket/cat/data/…") while manifests now
+        # record scheme-FULL URIs ("s3://bucket/cat/data/…", so read_output
+        # can hand them to spark.read) — strip the scheme for the orphan
+        # compare (a no-op on older scheme-less manifests).
         referenced: set[str] = set()
         for sid in keep_ids:
             referenced.update(
-                os.path.abspath(p) if local and "://" not in p else p
+                os.path.abspath(p) if local and "://" not in p
+                else (p.split("://", 1)[1] if "://" in p else p)
                 for p in self.output_files(sid))
         now = _time.time()
         removed_files = 0
@@ -312,10 +316,16 @@ def _staged_parquet_stats(d: str) -> tuple[list[str], int, int]:
     """(parquet files, rows from footers, bytes) for one staged write.
 
     Footer-only reads via `pyarrow.fs` — no data re-scan, runs unchanged
-    against object storage."""
+    against object storage. Manifest paths are recorded WITH the root's
+    filesystem scheme (``s3://bucket/...``): pyarrow listings come back
+    scheme-less, but `read_output` feeds manifest paths straight to
+    `spark.read.parquet`, which cannot resolve a scheme-less object-store
+    path (review finding) — so the scheme is re-prefixed at record time.
+    Local roots record plain absolute paths, as before."""
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
 
+    scheme = d.split("://", 1)[0] + "://" if "://" in d else ""
     fs, base = _fs_and_path(d)
     sel = pafs.FileSelector(base, recursive=True, allow_not_found=True)
     files, rows, total = [], 0, 0
@@ -324,7 +334,7 @@ def _staged_parquet_stats(d: str) -> tuple[list[str], int, int]:
             continue
         total += info.size or 0
         if info.path.endswith(".parquet"):
-            files.append(info.path)
+            files.append(scheme + info.path)
             with fs.open_input_file(info.path) as f:
                 rows += pq.ParquetFile(f).metadata.num_rows
     return sorted(files), rows, total

@@ -104,3 +104,21 @@ def test_feature_gate_real_decode_with_pil(spark):
     assert r["width"] == 37 and r["height"] == 21
     assert r["mime"] == "image/png"
     assert abs(sum(r["feature"]) - 1.0) < 1e-6
+
+
+def test_hist_feature_covers_all_bins_for_any_dim():
+    """ADVICE r4: floor binning dropped tail bins for dim not dividing 256
+    (feature stopped summing to 1) and zeroed the feature for dim > 256.
+    Ceiling binning must keep sum == 1 for every dim and put each of the
+    256 histogram bins in exactly one slot."""
+    from glm_ocr_spark.operators.multimodal import hist_feature
+
+    hist = [i + 1 for i in range(256)]  # every bin non-zero, all distinct
+    for dim in (1, 7, 8, 13, 64, 100, 256, 300):
+        feat = hist_feature(hist, dim)
+        assert len(feat) == dim
+        assert abs(sum(feat) - 1.0) < 1e-12, dim
+    # dim=7 regression shape: ceil binsz=37, last slot holds bins 222..255
+    feat7 = hist_feature(hist, 7)
+    total = sum(hist)
+    assert feat7[6] == sum(hist[222:256]) / total

@@ -153,3 +153,30 @@ def test_salted_quota_on_90pct_one_source_corpus(spark):
     per_src = inter.groupBy("source").count().collect()
     assert max(r["count"] for r in per_src) <= QUOTA_SALTS * k
     assert pruned.count() == got.count()
+
+
+def test_salted_topk_with_ties_needs_and_honors_tie_cols(spark):
+    """ADVICE r4: with duplicate order values a salt boundary can split a
+    tie group and stage 1 may drop rows a single window would rank within
+    k. `tie_cols` extends the effective ordering to a unique composite —
+    the salted result must then equal the single window ordered the same
+    way, even on a corpus where every order value is heavily tied."""
+    from pyspark.sql import Window
+
+    from glm_ocr_spark.operators.relational import topk_per_key_salted
+
+    docs = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).alias("grp"),
+        # only 4 distinct order values -> massive ties within every key
+        (F.col("id") % 4).cast("double").alias("score"),
+    )
+    k = 7
+    got = topk_per_key_salted(docs, ["grp"], "score", k,
+                              tie_cols=["doc_id"])
+    w = Window.partitionBy("grp").orderBy(F.asc("score"), F.asc("doc_id"))
+    want = (docs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert got.count() == 3 * k

@@ -327,3 +327,59 @@ def test_expire_respects_orphan_age(spark, small_transcripts, tmp_path):
                                   min_orphan_age_sec=0)
     assert not os.path.exists(orphan)
     assert res2["removed_files"] >= 1
+
+
+def test_staged_stats_records_scheme_full_uris(spark, tmp_path):
+    """ADVICE r4: for object-store roots the manifest used to record
+    pyarrow's scheme-less listing paths, which spark.read.parquet cannot
+    resolve — read_output broke on exactly the roots the docstring claimed
+    to support. Paths must now be recorded WITH the root's scheme.
+    `file://` exercises the same code path as s3://gs://hdfs:// (the
+    "://" branch of _fs_and_path) while staying runnable in this sandbox.
+    """
+    import pyspark.sql.functions as F
+
+    from glm_ocr_spark.snapshot import _staged_parquet_stats
+
+    d = str(tmp_path / "staged")
+    spark.range(7).select(F.col("id")).write.parquet(d)
+
+    files, rows, nbytes = _staged_parquet_stats(f"file://{d}")
+    assert rows == 7 and nbytes > 0 and files
+    assert all(p.startswith("file:///") for p in files)
+    # the recorded paths must be directly consumable by spark.read
+    assert spark.read.parquet(*files).count() == 7
+
+    # local (scheme-less) roots keep recording plain absolute paths
+    lfiles, lrows, _ = _staged_parquet_stats(d)
+    assert lrows == 7
+    assert all(p.startswith("/") and "://" not in p for p in lfiles)
+
+
+def test_expire_keeps_files_referenced_by_scheme_full_manifests(
+        spark, small_transcripts, tmp_path):
+    """GC must not treat scheme-full manifest paths as orphans: the orphan
+    compare strips the scheme before matching pyarrow's scheme-less
+    listing output."""
+    import pyspark.sql.functions as F
+
+    from glm_ocr_spark.snapshot import _staged_parquet_stats
+
+    root = str(tmp_path / "cat")
+    store = SnapshotStore(root)
+    staged = store.staging_dir()
+    small_transcripts.limit(10).withColumn("bucket", F.lit(0)) \
+        .write.mode("overwrite").partitionBy("bucket").parquet(staged)
+    files, rows, nbytes = _staged_parquet_stats(
+        f"file://{staged}/bucket=0")
+    assert all(p.startswith("file://") for p in files)
+    store.commit({0: {"files": files, "rows_out": rows,
+                      "bytes_out": nbytes}})
+    res = store.expire_snapshots(keep_from=0)
+    # _SUCCESS / .crc sidecars are legitimately swept as orphans; what must
+    # survive is every manifest-referenced parquet file
+    import os as _os
+    for p in files:
+        assert _os.path.exists(p[len("file://"):]), p
+    assert res["kept_snapshots"] == [0]
+    assert store.read_output(spark).count() == 10
