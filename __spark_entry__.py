@@ -263,11 +263,15 @@ def q_emb_neardup(spark, sf_dir):
     gives weak LSH locality, so ~87% of all pairs stay candidates — this
     regime verifies the operator's correctness envelope, NOT its scale
     behavior. Production near-dup is `emb_neardup_strict` (t=0.9 via
-    `neardup_params`, candidate ratio ~1%) — use that shape at 100 TB."""
+    `neardup_params`, candidate ratio ~1%) — use that shape at 100 TB.
+    The weak parameters are pinned EXPLICITLY here (round-4 ask #3: the
+    function default is now the production regime; this call site is the
+    demo opt-in)."""
     from glm_ocr_spark.operators.similarity import embedding_neardup_pairs
 
     emb = _table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.5)
+    return embedding_neardup_pairs(emb, threshold=0.5, bands=16,
+                                   planes_per_band=3)
 
 
 NEARDUP_PLANT_N = 5
@@ -328,15 +332,12 @@ def q_emb_neardup_strict(spark, sf_dir):
     (`_emb_with_planted_neardups`, mirrored in the oracle), so value
     equality here proves BOTH recall on real >= 0.9 pairs AND no false
     positives — round-3 verdict ask #1 (the row used to verify 0 == 0)."""
-    from glm_ocr_spark.operators.similarity import (
-        embedding_neardup_pairs,
-        neardup_params,
-    )
+    from glm_ocr_spark.operators.similarity import embedding_neardup_pairs
 
-    bands, planes = neardup_params(0.9)
     emb = _emb_with_planted_neardups(_table(spark, sf_dir, "embeddings"))
-    return embedding_neardup_pairs(emb, threshold=0.9, bands=bands,
-                                   planes_per_band=planes)
+    # bare call on purpose: the FUNCTION DEFAULTS are the production
+    # regime (t=0.9, neardup_params-derived 32x12 banding) as of round 5
+    return embedding_neardup_pairs(emb)
 
 
 def q_passage_dedup(spark, sf_dir):
@@ -767,6 +768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # emb_neardup is the WEAK-THRESHOLD DEMO (t=0.5 pinned explicitly:
+        # ~87% of pairs stay candidates — correctness envelope only, not a
+        # scale shape); emb_neardup_strict is the production regime and the
+        # function default (t=0.9, neardup_params banding, ~1% candidates)
         "emb_neardup": q_emb_neardup,
         "emb_neardup_strict": q_emb_neardup_strict,
         "passage_dedup": q_passage_dedup,

@@ -272,8 +272,11 @@ def test_emb_neardup_matches_brute_force(spark):
     from glm_ocr_spark.operators.similarity import embedding_neardup_pairs
 
     emb = spark.read.parquet(f"{SF2}/embeddings.parquet")
+    # demo band parameters pinned explicitly — same shape as the advertised
+    # `emb_neardup` query (the function DEFAULT is the production regime)
     got = {(r.id1, r.id2)
-           for r in embedding_neardup_pairs(emb, threshold=0.5).collect()}
+           for r in embedding_neardup_pairs(
+               emb, threshold=0.5, bands=16, planes_per_band=3).collect()}
     ids, mat = _load_embeddings(SF2)
     want = _brute_force_pairs(ids, mat, 0.5)
     assert got == want
@@ -284,7 +287,8 @@ def test_emb_neardup_empty_when_no_pairs(spark):
     from glm_ocr_spark.operators.similarity import embedding_neardup_pairs
 
     emb = spark.read.parquet(f"{SF1}/embeddings.parquet")
-    assert embedding_neardup_pairs(emb, threshold=0.5).count() == 0
+    assert embedding_neardup_pairs(
+        emb, threshold=0.5, bands=16, planes_per_band=3).count() == 0
 
 
 def test_emb_neardup_strict_finds_planted_pairs(spark):
@@ -334,6 +338,12 @@ def test_emb_neardup_strict_finds_planted_pairs(spark):
     # float32 storage vs float64 truth can flip pairs sitting exactly at
     # the threshold; the plant keeps pairs clear of 0.9 so equality holds
     assert got == truth
+
+    # round-4 ask #3: the BARE DEFAULT call must be this production regime
+    # (t=0.9, neardup_params-derived banding), not the weak demo
+    got_default = {(r.id1, r.id2)
+                   for r in embedding_neardup_pairs(emb).collect()}
+    assert got_default == truth
 
 
 def _ann_recall(spark, approx_fn, sf_dir="/root/testdata/sf0.1"):
