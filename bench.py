@@ -294,12 +294,16 @@ def write_bench_md(result: dict) -> None:
             "| --- | --- |",
         ] + [f"| {k} | {v} |" for k, v in sorted(ann.items())] + [
             "",
-            "`ann_ivf_topk` (IVF, 128 cells, nprobe 32, ~25% scanned) is "
-            "the recommended approximate path; `ann_lsh_topk` uses "
-            "margin-ordered multi-probe (96 of 256 buckets, ~38% scanned) "
-            "— sign-LSH recall is inherently limited on this corpus "
-            "(nearest neighbors sit at cos ~0.3). `ann_lsh_topk` is "
-            "bench-only (not an advertised query) as of round 4.",
+            "IVF (128 cells, nprobe 32, ~25% scanned) is the recommended "
+            "approximate path — `ann_ivf_topk_raw_corpus` above is its "
+            "honest raw-corpus recall (= the nprobe-32 point of the curve "
+            "below). The ADVERTISED `ann_ivf_topk` query runs over the "
+            "corpus + 10 planted neighbors at cosine ~0.998 so its top-10 "
+            "is known by construction and carries a full-value DuckDB "
+            "oracle (round-4 ask #1). `ann_lsh_topk` uses margin-ordered "
+            "multi-probe (96 of 256 buckets, ~38% scanned) — sign-LSH "
+            "recall is inherently limited on this corpus (nearest "
+            "neighbors sit at cos ~0.3); bench-only since round 4.",
         ]
     curve = result.get("ivf_curve") or {}
     if curve:
@@ -479,11 +483,17 @@ def main() -> None:
             _force(df)
         queries_sec[name] = round(time.time() - t0, 3)
 
-    # recall@10 of each approximate ANN path vs the exact scan
+    # recall@10 of each approximate ANN path vs the exact scan.
+    # ann_ivf_topk is excluded here: since round 5 the advertised query
+    # runs over the corpus + 10 planted neighbors (full-value oracle), so
+    # comparing its ids to the RAW-corpus exact scan is meaningless — its
+    # honest raw-corpus recall is the ivf_curve nprobe=32 entry, surfaced
+    # below as ann_ivf_topk_raw_corpus.
     exact = ann_results.get("ann_cosine_topk", set())
     ann_recall = {
         name: round(len(exact & ids) / max(1, len(exact)), 3)
-        for name, ids in ann_results.items() if name != "ann_cosine_topk"
+        for name, ids in ann_results.items()
+        if name not in ("ann_cosine_topk", "ann_ivf_topk")
     }
 
     # IVF recall-vs-scan tradeoff curve: the number a 100 TB deployment
@@ -520,6 +530,8 @@ def main() -> None:
             "recall_at_10": round(len(exact & ids) / max(1, len(exact)), 3),
             "scan_fraction": round(scanned / max(1, n_total), 3),
         }
+    ann_recall["ann_ivf_topk_raw_corpus"] = \
+        ivf_curve[32]["recall_at_10"]
 
     # candidate-pair ratio of the two near-dup LSH regimes: the number that
     # decides whether a threshold regime prunes (scale-viable) or degenerates

