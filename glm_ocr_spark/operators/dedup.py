@@ -243,6 +243,8 @@ def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
     linear in corpus size; the join is equality on the band key, never
     all-pairs. Signatures are dropped before the join: only 16-byte keys
     ride the shuffle."""
+    from pyspark import StorageLevel
+
     r = k // bands
     sigs = minhash_signatures(docs, n, k)
     band_entries = sigs.select(
@@ -257,6 +259,14 @@ def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
             ])
         ).alias("band_idx", "band_hash"),
     )
+    # materialize the band entries ONCE before the self-join: both join
+    # sides reference this dataflow, and without a boundary Spark plans
+    # two full scans — i.e. the expensive signature UDF runs twice over
+    # the whole corpus (measured 2x wall on a 6.3M-doc corpus). Same
+    # single-evaluation rule as the withColumn/_jac notes (SCALE.md);
+    # at 100 TB you'd persist signatures as a table, persist() is the
+    # in-job equivalent (LRU-evictable, spills to disk).
+    band_entries = band_entries.persist(StorageLevel.MEMORY_AND_DISK)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     return (
@@ -280,8 +290,14 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
     miss prob (1-j^2)^16). Candidates are tiny relative to the corpus, so
     the two verify joins move only candidate rows + their shingle arrays.
     """
+    from pyspark import StorageLevel
+
     cands = minhash_band_candidates(docs, n, k, bands)
     sh = docs.select("doc_id", shingles_udf(n)(F.col("text")).alias("sh"))
+    # same single-evaluation boundary as the band entries above: s1 and s2
+    # both read this dataflow, and unpersisted the shingle UDF would run
+    # two more full corpus passes
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     s1 = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
     common = F.size(F.array_intersect("sh1", "sh2"))
