@@ -395,6 +395,125 @@ def write_bench_md(result: dict) -> None:
             "and matches its brute-force oracle value-exact (round-4: "
             "the row verifies 5 found pairs, no longer 0 == 0).",
         ]
+    # Persistent auxiliary measurements (produced by their own tools, not
+    # this run): rendered from repo-root JSONs so bench.py regenerations
+    # never lose them.
+    def _load(name):
+        # A malformed auxiliary JSON must degrade to a missing section,
+        # never kill the driver's bench run.
+        p = os.path.join(REPO, name)
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _aux_section(builder):
+        # Same degradation rule as _load: an unexpected shape in an
+        # auxiliary JSON drops its section, never the bench run.
+        try:
+            return builder()
+        except Exception:
+            return []
+
+    def _sf1_section():
+        sf1 = _load("BENCH_sf1.json")
+        if not sf1:
+            return []
+        per = sf1["per_scale"]
+        rat = sf1["rows_per_sec_ratio_10x"]
+        out = [
+            "",
+            "## Data-scaling: 10x rows at fixed local[%d] cores "
+            "(tools/bench_sf1.py)" % sf1.get("cores", 32),
+            "",
+            "All other scaling evidence varies CORES at fixed data; this "
+            "varies DATA at fixed cores — the second axis of the 100x "
+            "story. Fresh JVM per scale, warm + best-of-2 method; 'cold' "
+            "is the first execution (includes the one-time "
+            "signature/shingle materialization for dedup).",
+            "",
+            "| phase | rows @0.1x | rows/s @0.1x | rows @1x | rows/s @1x "
+            "| 10x throughput ratio |",
+            "| --- | --- | --- | --- | --- | --- |",
+        ]
+        for ph, rows_key in (("extract", "rows"), ("dedup", "docs"),
+                             ("decontam", "docs")):
+            a, b = per["0.1"][ph], per["1.0"][ph]
+            out.append(
+                f"| {ph} | {a[rows_key]} | {a['rows_per_sec']} | "
+                f"{b[rows_key]} | {b['rows_per_sec']} | {rat[ph]} |")
+        out += [
+            "",
+            f"Dedup cold-path ratio (first pass, real materialization "
+            f"cost): {rat.get('dedup_cold')} "
+            f"({per['0.1']['dedup']['cold_sec']}s -> "
+            f"{per['1.0']['dedup']['cold_sec']}s for 10x the docs). "
+            "A ratio near 1.0 = flat per-row cost at 10x the data.",
+            "",
+            "Dedup/decontam input: deterministic high-entropy synthetic "
+            "documents (50k-token vocabulary, 5% planted near-dups at "
+            "Jaccard ~0.5; tools/bench_sf1.py docstring). The transcript "
+            "payloads themselves are unusable for this: their template "
+            "sentence bank collapses LSH bands into ~3,100-doc buckets at "
+            "sf0.01 and candidate pairs go quadratic (measured 2026-08-17 "
+            "— OOMs a 48g heap). That is generator entropy, not operator "
+            "shape; recorded here so nobody re-derives a dedup corpus "
+            "from turn text.",
+        ]
+        return out
+
+    def _stream_section():
+        stream = _load("BENCH_streaming.json")
+        if not stream:
+            return []
+        return [
+            "",
+            "## Streaming path at bench scale (tools/bench_streaming.py)",
+            "",
+            f"File-drop source over the sf0.1 corpus in "
+            f"{stream['n_batches']} micro-batches of ~{stream['batch_rows']}"
+            f" turns: **{stream['rows_per_sec']} turns/s** end-to-end "
+            f"(total {stream['total_rows']} rows in {stream['total_sec']}s "
+            "including per-batch extraction + sink).",
+            "",
+            f"Stateful conversation tracker (applyInPandasWithState): "
+            f"{stream.get('tracker_rows_per_sec', 'n/a')} turns/s; state "
+            f"store holds {stream.get('tracker_state_rows', 'n/a')} "
+            "conversation rows at stream end (bounded by live "
+            "conversations, not corpus size).",
+        ]
+
+    def _adj_section():
+        adj = _load("BENCH_adjudication.json")
+        if not adj:
+            return []
+        return [
+            "",
+            "## Round-4 regression adjudication (standalone re-measure, "
+            "%s)" % adj.get("date", ""),
+            "",
+            "The four queries whose full-bench slots regressed r3->r4 "
+            "re-measured standalone (fresh JVM, interleaved rounds, same "
+            "sf0.1 corpus — the dedup_ngram_jaccard method, BENCH.md "
+            "historical note):",
+            "",
+            "| query | r3 bench | r4 bench | standalone runs (s) | verdict |",
+            "| --- | --- | --- | --- | --- |",
+        ] + [
+            f"| {q} | {v['r3']} | {v['r4']} | "
+            f"{', '.join(str(x) for x in v['standalone'])} | {v['verdict']} |"
+            for q, v in adj["queries"].items()
+        ] + [
+            "",
+            "Standalone readings at or below the r3 numbers with "
+            "byte-unchanged operators = the full-bench r4 slots were "
+            "shared-box noise (same mechanism adjudicated for "
+            "dedup_ngram_jaccard in round 4), not regressions.",
+        ]
+
+    for _builder in (_sf1_section, _stream_section, _adj_section):
+        lines += _aux_section(_builder)
     lines += [
         "",
         "## Per-query seconds (local[%d], %s)" % (
