@@ -33,6 +33,9 @@ ROUNDS = 3
 
 
 def main() -> None:
+    from tools.quietbox import assert_quiet
+
+    assert_quiet("adjudicate_r4")
     import __spark_entry__ as entry
     from glm_ocr_spark.pipeline import get_spark
 

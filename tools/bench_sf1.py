@@ -55,7 +55,7 @@ WORDS_PER_DOC = 30
 DOCS_AT_SCALE_1 = 6_300_000  # matches the sf1 turn count
 
 
-def _spark(tag: str):
+def _spark(tag: str, shuffle_partitions: int = 64):
     # local-mode driver heap defaults to 1g; a 6.3M-row shuffle/join
     # workload needs a real executor-sized heap. Must be set before the
     # JVM launches, which PYSPARK_SUBMIT_ARGS guarantees.
@@ -63,7 +63,7 @@ def _spark(tag: str):
     from glm_ocr_spark.pipeline import get_spark
 
     spark = get_spark(app=f"bench-sf1-{tag}", master=f"local[{CORES}]",
-                      shuffle_partitions=64)
+                      shuffle_partitions=shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -141,10 +141,19 @@ def run_worker(scale: float) -> None:
     from glm_ocr_spark.operators.dedup import minhash_lsh_pairs
     from glm_ocr_spark.pipeline import extract_transcripts
 
-    spark = _spark(str(scale))
+    # Shuffle partitions scale WITH the data (64 at 0.1x -> 640 at 1x):
+    # holding them fixed across a 10x data step makes each shuffle
+    # partition 10x heavier — sort/merge spill — and the reading measures
+    # memory pressure, not the operator. This is exactly how a production
+    # job right-sizes: partitions proportional to input so per-partition
+    # bytes stay constant (first sf1 attempt with a fixed 64 measured
+    # dedup cold ratio 0.64; the knob is the 100 TB lesson).
+    shuffle_partitions = max(64, int(640 * scale))
+    spark = _spark(str(scale), shuffle_partitions)
     tpath = ensure_transcripts(spark, scale)  # scale IS the transcripts sf
     dpath = ensure_docs(spark, scale)
-    out: dict = {"scale": scale, "cores": CORES}
+    out: dict = {"scale": scale, "cores": CORES,
+                 "shuffle_partitions": shuffle_partitions}
 
     # one split per file (bench.py extraction config): CPU-bound pandas UDF
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
@@ -168,9 +177,16 @@ def run_worker(scale: float) -> None:
                     "rows_per_sec": round(n_docs / sec, 1),
                     "cold_rows_per_sec": round(n_docs / cold, 1)}
 
+    # Phase isolation: dedup's persisted signature/shingle dataflows stay
+    # registered in the CacheManager after the phase — left in place they
+    # fight decontam's 110M-row explode for storage/execution memory and
+    # the decontam reading measures eviction churn (first attempt: warm
+    # 51.5s vs cold 18.5s at 0.1x, pure cache interference).
+    spark.catalog.clearCache()
+
     flagged, cold, sec = _timed(
         lambda: decontaminate(docs, ["7", "13"], hash_keys=True).count(),
-        passes=1)
+        passes=2)
     out["decontam"] = {"docs": n_docs, "rows": flagged,
                        "cold_sec": round(cold, 2), "sec": round(sec, 2),
                        "rows_per_sec": round(n_docs / sec, 1)}
@@ -187,6 +203,9 @@ def main() -> None:
         run_worker(args.scale)
         return
 
+    from tools.quietbox import assert_quiet
+
+    assert_quiet("bench_sf1")  # workers inherit the orchestrator's check
     results = {}
     for scale in (0.1, 1.0):
         proc = subprocess.run(

@@ -31,6 +31,9 @@ MAX_FILES_PER_TRIGGER = 20  # 256 files -> ~13 micro-batches of ~50k turns
 
 
 def main() -> None:
+    from tools.quietbox import assert_quiet
+
+    assert_quiet("bench_streaming")
     os.environ["PYSPARK_SUBMIT_ARGS"] = "--driver-memory 24g pyspark-shell"
     from glm_ocr_spark.pipeline import get_spark
     from glm_ocr_spark.streaming.stream import (
