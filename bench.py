@@ -756,7 +756,12 @@ def main() -> None:
         "sf": sf,
         "queries": {k: round(v, 2) for k, v in queries_sec.items()},
         "turns_per_sec": result["turns_per_sec"],
+        # sweep's local[32] pass of the identical job — brackets the
+        # in-JVM headline slot (the two can differ 60% on this shared box)
+        "turns_per_sec_sweep32": (scaling or {}).get("local32_rows_per_sec"),
         "scaling_efficiency_4_to_16": (scaling or {}).get("efficiency"),
+        "scaling_4_to_16_hw_normalized": (scaling or {}).get(
+            "efficiency_4_to_16_hw_normalized"),
         "scaling_raw_8_to_32": (scaling or {}).get("efficiency_8_to_32"),
         "full": "BENCH_full.json",
     }

@@ -237,14 +237,19 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
 
 def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
                             bands: int = LSH_BANDS) -> DataFrame:
-    """Candidate (id1, id2) pairs from banded LSH equality joins.
+    """Candidate (id1, id2) pairs from banded LSH bucket grouping.
 
     Each doc emits `bands` (band_idx, band_hash) rows — shuffle volume is
-    linear in corpus size; the join is equality on the band key, never
-    all-pairs. Signatures are dropped before the join: only 16-byte keys
-    ride the shuffle."""
-    from pyspark import StorageLevel
-
+    linear in corpus size and the band-entry dataflow crosses the wire
+    exactly ONCE: entries group into buckets (groupBy on the band key) and
+    pairs expand in-bucket with higher-order functions. The round-5
+    predecessor self-joined the dataflow on the band key, which planned it
+    as BOTH join sides — two full scans (the signature UDF twice over the
+    corpus, forcing a persist) and twice the shuffle bytes. Pair semantics
+    are identical: a bucket of s docs emits s(s-1)/2 ordered pairs either
+    way, never all-pairs across buckets. A degenerate near-identical
+    corpus makes buckets (and pair counts) large in both shapes — that is
+    the LSH contract, not a join-strategy artifact."""
     r = k // bands
     sigs = minhash_signatures(docs, n, k)
     band_entries = sigs.select(
@@ -259,21 +264,24 @@ def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
             ])
         ).alias("band_idx", "band_hash"),
     )
-    # materialize the band entries ONCE before the self-join: both join
-    # sides reference this dataflow, and without a boundary Spark plans
-    # two full scans — i.e. the expensive signature UDF runs twice over
-    # the whole corpus (measured 2x wall on a 6.3M-doc corpus). Same
-    # single-evaluation rule as the withColumn/_jac notes (SCALE.md);
-    # at 100 TB you'd persist signatures as a table, persist() is the
-    # in-job equivalent (LRU-evictable, spills to disk).
-    band_entries = band_entries.persist(StorageLevel.MEMORY_AND_DISK)
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
+    # one shuffle: bucket members per band key, pairs expanded row-locally.
+    # sort_array fixes collect_list's nondeterministic order AND yields
+    # id1 < id2 for free; the same pair found in several bands still needs
+    # the final dropDuplicates.
+    pairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+        ),
+    ))
     return (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        band_entries
+        .groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.id1", "p.id2")
         .dropDuplicates(["id1", "id2"])
     )
 
