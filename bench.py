@@ -525,7 +525,38 @@ def write_bench_md(result: dict) -> None:
             for q, v in adj["queries"].items() if v.get("note")
         ]
 
-    for _builder in (_sf1_section, _stream_section, _adj_section):
+    def _ab_section():
+        ab = _load("BENCH_ab.json")
+        if not ab:
+            return []
+        d = ab["draws_sec"]
+        return [
+            "",
+            "## Headline-drift A/B: HEAD vs %s (tools/ab_extract.py)"
+            % ab["ref"],
+            "",
+            "The full-bench headline slot declined r3->r4->r5; this "
+            "settles kernel drift vs box noise — both code versions, "
+            "identical input parquet, same worker "
+            "(`bench.py --extract-only`, fresh JVM, warm + best-of-2), "
+            "strictly interleaved rounds:",
+            "",
+            "| arm | draws (s) | best (s) | rows/s |",
+            "| --- | --- | --- | --- |",
+            f"| {ab['ref']} (r3 close) | "
+            f"{', '.join(str(x) for x in d['ref'])} | {ab['ref_best_sec']} "
+            f"| {ab['ref_rows_per_sec']} |",
+            f"| HEAD | {', '.join(str(x) for x in d['head'])} | "
+            f"{ab['head_best_sec']} | {ab['head_rows_per_sec']} |",
+            "",
+            f"HEAD/ref throughput ratio: **{ab['head_over_ref']}** "
+            "(>= 1 means the current kernel is at least as fast as the "
+            "round-3 kernel; the headline-slot declines were seat noise, "
+            "not cumulative drift).",
+        ]
+
+    for _builder in (_sf1_section, _stream_section, _adj_section,
+                     _ab_section):
         lines += _aux_section(_builder)
     lines += [
         "",
@@ -624,6 +655,15 @@ def main() -> None:
         else:
             _force(df)
         queries_sec[name] = round(time.time() - t0, 3)
+        # Queries are timed as INDEPENDENT jobs, so none may inherit
+        # another's pinned cache pressure: the dedup family persists its
+        # shingle/verify dataflows (lazy API, no unpersist handle), and
+        # left registered those caches squeeze every later shuffle-heavy
+        # query — bench_sf1 measured decontam at 51.5 s warm vs 18.5 s
+        # cold from exactly this interference, and the r4 slots that
+        # "regressed" (passage_dedup, top_ngrams, decontaminate,
+        # quota_per_source) all run after the dedup block.
+        spark.catalog.clearCache()
 
     # recall@10 of each approximate ANN path vs the exact scan.
     # ann_ivf_topk is excluded here: since round 5 the advertised query
@@ -659,15 +699,13 @@ def main() -> None:
     }
     n_total = sum(cell_counts.values())
     ivf_curve = {}
-    import numpy as _np
-    cn = cents / _np.linalg.norm(cents, axis=1, keepdims=True)
-    qv = _np.asarray(qvec) / _np.linalg.norm(qvec)
-    order = _np.argsort(-(qv @ cn.T))
+    from glm_ocr_spark.operators.similarity import probe_cells
     for nprobe in (8, 16, 32, 64):
         ids = {r["vec_id"] for r in ivf_topk(
             emb_all, qvec, k=10, centroids=cents, nprobe=nprobe,
             exclude_id=0).collect()}
-        scanned = sum(cell_counts.get(int(c), 0) for c in order[:nprobe])
+        scanned = sum(cell_counts.get(c, 0)
+                      for c in probe_cells(qvec, cents, nprobe))
         ivf_curve[nprobe] = {
             "recall_at_10": round(len(exact & ids) / max(1, len(exact)), 3),
             "scan_fraction": round(scanned / max(1, n_total), 3),

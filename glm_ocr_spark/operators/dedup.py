@@ -242,14 +242,22 @@ def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
     Each doc emits `bands` (band_idx, band_hash) rows — shuffle volume is
     linear in corpus size and the band-entry dataflow crosses the wire
     exactly ONCE: entries group into buckets (groupBy on the band key) and
-    pairs expand in-bucket with higher-order functions. The round-5
+    pairs stream out of each bucket via two chained explodes. The round-5
     predecessor self-joined the dataflow on the band key, which planned it
     as BOTH join sides — two full scans (the signature UDF twice over the
     corpus, forcing a persist) and twice the shuffle bytes. Pair semantics
     are identical: a bucket of s docs emits s(s-1)/2 ordered pairs either
-    way, never all-pairs across buckets. A degenerate near-identical
-    corpus makes buckets (and pair counts) large in both shapes — that is
-    the LSH contract, not a join-strategy artifact."""
+    way, never all-pairs across buckets.
+
+    Memory shape on a hot bucket (review finding): a single nested
+    transform+flatten would materialize all s(s-1)/2 pair structs as ONE
+    in-row array — GBs for s~20k, and past the 2^31 array-element cap for
+    s>=65,536 — where the old join streamed them. The chained explodes
+    keep the join's O(s) per-row bound: posexplode pins (ids, id1), then
+    explode(slice(ids, i+2, ...)) generates partners row-at-a-time inside
+    whole-stage codegen; the only materialized array is the s-element id
+    list itself. Degenerate corpora still pay O(s^2) OUTPUT rows — that
+    is the LSH contract — but no longer O(s^2) peak task memory."""
     r = k // bands
     sigs = minhash_signatures(docs, n, k)
     band_entries = sigs.select(
@@ -264,24 +272,23 @@ def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
             ])
         ).alias("band_idx", "band_hash"),
     )
-    # one shuffle: bucket members per band key, pairs expanded row-locally.
+    # one shuffle: bucket members per band key, pairs streamed row-locally.
     # sort_array fixes collect_list's nondeterministic order AND yields
     # id1 < id2 for free; the same pair found in several bands still needs
-    # the final dropDuplicates.
-    pairs = F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-            lambda y: F.struct(x.alias("id1"), y.alias("id2")),
-        ),
-    ))
+    # the final dropDuplicates. posexplode's pos is 0-based and slice's
+    # start is 1-based, so partners-after-i start at i+2; explode of an
+    # empty slice (last element) emits nothing, which is correct.
     return (
         band_entries
         .groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .select("p.id1", "p.id2")
+        .select("ids", F.posexplode("ids").alias("i", "id1"))
+        .select(
+            "id1",
+            F.explode(
+                F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
 

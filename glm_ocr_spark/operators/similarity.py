@@ -245,6 +245,20 @@ def ivf_cell_udf(centroids: np.ndarray):
     return _cell
 
 
+def probe_cells(query: list[float], centroids: np.ndarray,
+                nprobe: int) -> list[int]:
+    """The `nprobe` IVF cell ids most cosine-similar to the query — THE
+    single definition of probe selection (ordering, normalization,
+    tie-breaking by np.argsort's stable descending index). Every probe
+    consumer (`ivf_topk`, `ivf_topk_partitioned`, the bench tuning curve,
+    the recall tests) must call this, or a future tweak to probe order
+    silently diverges the partitioned path from the in-memory one."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qv = np.asarray(query, dtype=np.float64)
+    qsim = (qv / np.linalg.norm(qv)) @ cn.T
+    return [int(i) for i in np.argsort(-qsim)[:nprobe]]
+
+
 def ivf_topk(emb: DataFrame, query: list[float], k: int = 10,
              n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
              centroids: np.ndarray | None = None,
@@ -262,10 +276,7 @@ def ivf_topk(emb: DataFrame, query: list[float], k: int = 10,
     """
     if centroids is None:
         centroids = train_ivf_centroids(emb, n_cells)
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    qv = np.asarray(query, dtype=np.float64)
-    qsim = (qv / np.linalg.norm(qv)) @ cn.T
-    probes = [int(i) for i in np.argsort(-qsim)[:nprobe]]
+    probes = probe_cells(query, centroids, nprobe)
     cell = ivf_cell_udf(centroids)
     cand = emb.withColumn("cell", cell(F.col("embedding"))).filter(
         F.col("cell").isin(probes))
@@ -298,10 +309,7 @@ def ivf_topk_partitioned(spark, path: str, query: list[float],
     only nprobe directories) — zero decode of non-probed cells, the
     property the in-memory `ivf_topk` can only approximate with a
     post-scan filter."""
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    qv = np.asarray(query, dtype=np.float64)
-    qsim = (qv / np.linalg.norm(qv)) @ cn.T
-    probes = [int(i) for i in np.argsort(-qsim)[:nprobe]]
+    probes = probe_cells(query, centroids, nprobe)
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
     if exclude_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_id)

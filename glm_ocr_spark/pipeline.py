@@ -26,6 +26,8 @@ vectorized kernel calls.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +61,20 @@ EXTRACTED_SCHEMA = T.StructType([
 
 def get_spark(app: str = "glm-ocr-spark", master: str | None = None,
               shuffle_partitions: int = 32) -> SparkSession:
+    # Shuffle/spill scratch lives under the repo, not /tmp: this sandbox
+    # reaps /tmp entries mid-run (a ~25-min bench pass died 2026-08-17
+    # with its blockmgr dir deleted under it — ENOENT on temp_shuffle
+    # renames), and any long job sharing fate with a tmp cleaner is a
+    # latent crash. Spark gives each app a unique blockmgr subdir, so
+    # concurrent JVMs can share this root. On a real cluster this is
+    # spark.local.dir on fast instance storage.
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench", "sparktmp")
+    try:
+        os.makedirs(scratch, exist_ok=True)
+    except OSError:  # read-only deploy root: fall back to Spark's default
+        scratch = None
     b = (
         SparkSession.builder.appName(app)
         .config("spark.sql.adaptive.enabled", "true")
@@ -78,6 +94,8 @@ def get_spark(app: str = "glm-ocr-spark", master: str | None = None,
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "512k")
     )
+    if scratch:
+        b = b.config("spark.local.dir", scratch)
     if master:
         b = b.master(master)
     return b.getOrCreate()

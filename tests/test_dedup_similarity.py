@@ -443,12 +443,9 @@ def test_ivf_partitioned_layout_prunes_at_source(spark, tmp_path):
 
 
 def _probe_list(query, centroids, nprobe):
-    import numpy as np
+    from glm_ocr_spark.operators.similarity import probe_cells
 
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    qv = np.asarray(query, dtype=np.float64)
-    qsim = (qv / np.linalg.norm(qv)) @ cn.T
-    return [str(int(i)) for i in np.argsort(-qsim)[:nprobe]]
+    return [str(c) for c in probe_cells(query, centroids, nprobe)]
 
 
 def test_ann_ivf_planted_neighbors_equal_brute_force(spark):

@@ -58,8 +58,15 @@ DOCS_AT_SCALE_1 = 6_300_000  # matches the sf1 turn count
 def _spark(tag: str, shuffle_partitions: int = 64):
     # local-mode driver heap defaults to 1g; a 6.3M-row shuffle/join
     # workload needs a real executor-sized heap. Must be set before the
-    # JVM launches, which PYSPARK_SUBMIT_ARGS guarantees.
-    os.environ["PYSPARK_SUBMIT_ARGS"] = "--driver-memory 48g pyspark-shell"
+    # JVM launches, which PYSPARK_SUBMIT_ARGS guarantees. Shuffle/spill
+    # scratch moves off /tmp: this sandbox reaps /tmp entries mid-run
+    # (a ~25-min sf1 pass died with its blockmgr dir deleted under it,
+    # "No such file or directory" on temp_shuffle renames, 2026-08-17),
+    # and a long job must not share fate with a tmp cleaner.
+    scratch = os.path.join(BENCH_DATA, "sparktmp")
+    os.makedirs(scratch, exist_ok=True)
+    os.environ["PYSPARK_SUBMIT_ARGS"] = (
+        f"--driver-memory 48g --conf spark.local.dir={scratch} pyspark-shell")
     from glm_ocr_spark.pipeline import get_spark
 
     spark = get_spark(app=f"bench-sf1-{tag}", master=f"local[{CORES}]",
