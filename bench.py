@@ -429,24 +429,28 @@ def write_bench_md(result: dict) -> None:
             "",
             "All other scaling evidence varies CORES at fixed data; this "
             "varies DATA at fixed cores — the second axis of the 100x "
-            "story. Fresh JVM per scale, warm + best-of-2 method; 'cold' "
-            "is the first execution (includes the one-time "
-            "signature/shingle materialization for dedup). Idle-box "
+            "story. Fresh JVM per scale; 'cold' is the first execution "
+            "(includes the one-time signature/shingle materialization "
+            "for dedup), steady rows/s is the best of 2 further passes "
+            "each started from a CLEARED SQL cache — leftover persisted "
+            "dataflows from a prior pass otherwise turn later passes "
+            "into eviction-churn measurements (see _timed). Idle-box "
             "measurement is enforced structurally: every measurement tool "
             "aborts if another Spark JVM is live (tools/quietbox.py) — "
             "round 5's first sf1 attempt ran concurrently with pytest "
             "JVMs and was discarded for exactly that reason.",
             "",
             "| phase | rows @0.1x | rows/s @0.1x | rows @1x | rows/s @1x "
-            "| 10x throughput ratio |",
-            "| --- | --- | --- | --- | --- | --- |",
+            "| 10x steady ratio | 10x cold ratio |",
+            "| --- | --- | --- | --- | --- | --- | --- |",
         ]
         for ph, rows_key in (("extract", "rows"), ("dedup", "docs"),
                              ("decontam", "docs")):
             a, b = per["0.1"][ph], per["1.0"][ph]
             out.append(
                 f"| {ph} | {a[rows_key]} | {a['rows_per_sec']} | "
-                f"{b[rows_key]} | {b['rows_per_sec']} | {rat[ph]} |")
+                f"{b[rows_key]} | {b['rows_per_sec']} | {rat[ph]} | "
+                f"{rat.get(ph + '_cold', 'n/a')} |")
         out += [
             "",
             f"Dedup cold-path ratio (first pass, real materialization "
@@ -550,13 +554,46 @@ def write_bench_md(result: dict) -> None:
             f"{ab['head_best_sec']} | {ab['head_rows_per_sec']} |",
             "",
             f"HEAD/ref throughput ratio: **{ab['head_over_ref']}** "
-            "(>= 1 means the current kernel is at least as fast as the "
-            "round-3 kernel; the headline-slot declines were seat noise, "
-            "not cumulative drift).",
+            "(a ratio near 1 with overlapping draw ranges = the two "
+            "kernels are indistinguishable on this box; the headline-slot "
+            "declines were seat noise, not cumulative drift).",
+        ]
+
+    def _ab_minhash_section():
+        ab = _load("BENCH_ab_minhash.json")
+        if not ab:
+            return []
+        ratio = ab["head_over_ref"]
+        return [
+            "",
+            "## MinHash-rewrite adjudication: HEAD vs %s "
+            "(tools/ab_minhash.py)" % ab["ref"],
+            "",
+            "The two sf1 data-scaling runs straddling the one-shuffle "
+            "bucket-grouping rewrite (efdc3d8) disagreed on dedup cold "
+            "cost (42 vs 95 s at 0.1x) — but both runs showed 5x swings "
+            "on byte-identical code in their OTHER legs, so neither is "
+            "evidence. Settled the defensible way: both code versions, "
+            "identical 630k-doc corpus, fresh JVM per pass (cold only), "
+            "strictly interleaved rounds, identical pair counts asserted "
+            f"({ab['pairs']} pairs both arms):",
+            "",
+            "| arm | cold draws (s) | best (s) |",
+            "| --- | --- | --- |",
+            f"| {ab['ref']} (self-join + persist) | "
+            f"{', '.join(str(x) for x in ab['ref_draws_sec'])} | "
+            f"{ab['ref_best_sec']} |",
+            f"| HEAD (one-shuffle grouping) | "
+            f"{', '.join(str(x) for x in ab['head_draws_sec'])} | "
+            f"{ab['head_best_sec']} |",
+            "",
+            f"HEAD/ref cold-time ratio: **{ratio}** (< 1 means the "
+            "rewrite is faster; > 1 means the self-join was faster and "
+            "the rewrite trades wall time for its halved shuffle bytes).",
         ]
 
     for _builder in (_sf1_section, _stream_section, _adj_section,
-                     _ab_section):
+                     _ab_section, _ab_minhash_section):
         lines += _aux_section(_builder)
     lines += [
         "",

@@ -236,28 +236,39 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
 
 
 def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
-                            bands: int = LSH_BANDS) -> DataFrame:
-    """Candidate (id1, id2) pairs from banded LSH bucket grouping.
+                            bands: int = LSH_BANDS,
+                            strategy: str = "join") -> DataFrame:
+    """Candidate (id1, id2) pairs from banded LSH. Each doc emits `bands`
+    (band_idx, band_hash) rows — shuffle volume is linear in corpus size,
+    never all-pairs across buckets; a bucket of s docs emits s(s-1)/2
+    ordered pairs under either strategy (pair-set equality is tested).
 
-    Each doc emits `bands` (band_idx, band_hash) rows — shuffle volume is
-    linear in corpus size and the band-entry dataflow crosses the wire
-    exactly ONCE: entries group into buckets (groupBy on the band key) and
-    pairs stream out of each bucket via two chained explodes. The round-5
-    predecessor self-joined the dataflow on the band key, which planned it
-    as BOTH join sides — two full scans (the signature UDF twice over the
-    corpus, forcing a persist) and twice the shuffle bytes. Pair semantics
-    are identical: a bucket of s docs emits s(s-1)/2 ordered pairs either
-    way, never all-pairs across buckets.
+    Two physical strategies, an honest measured tradeoff
+    (tools/ab_minhash.py, 630k-doc corpus, local[32], fresh-JVM cold,
+    interleaved; BENCH.md "MinHash-rewrite adjudication"):
 
-    Memory shape on a hot bucket (review finding): a single nested
-    transform+flatten would materialize all s(s-1)/2 pair structs as ONE
-    in-row array — GBs for s~20k, and past the 2^31 array-element cap for
-    s>=65,536 — where the old join streamed them. The chained explodes
-    keep the join's O(s) per-row bound: posexplode pins (ids, id1), then
-    explode(slice(ids, i+2, ...)) generates partners row-at-a-time inside
-    whole-stage codegen; the only materialized array is the s-element id
-    list itself. Degenerate corpora still pay O(s^2) OUTPUT rows — that
-    is the LSH contract — but no longer O(s^2) peak task memory."""
+    - "join" (default): persist the band entries once, equality self-join
+      on the band key. The band-entry dataflow crosses the wire TWICE (two
+      exchange inputs), but pair expansion runs inside codegen sort-merge
+      join. Measured best 23.45 s vs 32.31 s — ~1.4x faster wall on a
+      CPU-bound local box, where shuffle "bytes" are memcpy.
+    - "group": groupBy the band key, collect_list the bucket, stream pairs
+      out via chained posexplode + explode(slice(...)) — the dataflow
+      crosses the wire exactly ONCE (half the shuffle bytes, no persist),
+      but collect_list plans as ObjectHashAggregate (no codegen) and pays
+      for it in wall time locally. On a network-bound cluster, where the
+      wire is the bottleneck rather than memcpy, halved shuffle bytes is
+      the winning trade — that is why the path is kept.
+
+    Memory shape on a hot bucket is O(s) per task under both: the join
+    streams matches; the group path pins (ids, id1) with posexplode and
+    generates partners row-at-a-time from explode(slice(ids, i+2, ...)) —
+    the only materialized array is the s-element id list (a single nested
+    transform+flatten would materialize all s(s-1)/2 pair structs in one
+    row and break past s~65k). Degenerate corpora still pay O(s^2) OUTPUT
+    rows — that is the LSH contract."""
+    if strategy not in ("join", "group"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     r = k // bands
     sigs = minhash_signatures(docs, n, k)
     band_entries = sigs.select(
@@ -272,12 +283,32 @@ def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
             ])
         ).alias("band_idx", "band_hash"),
     )
-    # one shuffle: bucket members per band key, pairs streamed row-locally.
-    # sort_array fixes collect_list's nondeterministic order AND yields
-    # id1 < id2 for free; the same pair found in several bands still needs
-    # the final dropDuplicates. posexplode's pos is 0-based and slice's
-    # start is 1-based, so partners-after-i start at i+2; explode of an
-    # empty slice (last element) emits nothing, which is correct.
+    if strategy == "join":
+        from pyspark import StorageLevel
+
+        # materialize the band entries ONCE before the self-join: both
+        # join sides reference this dataflow, and without a boundary Spark
+        # plans two full scans — the expensive signature UDF twice over
+        # the whole corpus (measured 2x wall on a 6.3M-doc corpus). At
+        # 100 TB you'd persist signatures as a table; persist() is the
+        # in-job equivalent (LRU-evictable, spills to disk).
+        band_entries = band_entries.persist(StorageLevel.MEMORY_AND_DISK)
+        a = band_entries.alias("a")
+        b = band_entries.alias("b")
+        return (
+            a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id1"),
+                    F.col("b.doc_id").alias("id2"))
+            .dropDuplicates(["id1", "id2"])
+        )
+    # "group": one shuffle buckets members per band key, pairs streamed
+    # row-locally. sort_array fixes collect_list's nondeterministic order
+    # AND yields id1 < id2 for free; the same pair found in several bands
+    # still needs the final dropDuplicates. posexplode's pos is 0-based
+    # and slice's start is 1-based, so partners-after-i start at i+2;
+    # explode of an empty slice (last element) emits nothing.
     return (
         band_entries
         .groupBy("band_idx", "band_hash")
@@ -295,7 +326,8 @@ def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
                       bands: int = LSH_BANDS,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      strategy: str = "join") -> DataFrame:
     """Near-dup pairs: banded LSH candidates verified by **exact** Jaccard.
 
     The verify stage joins candidates back to per-doc shingle arrays and
@@ -304,10 +336,12 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
     the same threshold (at the shipped parameters recall ≈ 1 for j >= 0.5;
     miss prob (1-j^2)^16). Candidates are tiny relative to the corpus, so
     the two verify joins move only candidate rows + their shingle arrays.
+    `strategy` selects the candidate-generation physical shape — see
+    minhash_band_candidates for the measured join-vs-group tradeoff.
     """
     from pyspark import StorageLevel
 
-    cands = minhash_band_candidates(docs, n, k, bands)
+    cands = minhash_band_candidates(docs, n, k, bands, strategy)
     sh = docs.select("doc_id", shingles_udf(n)(F.col("text")).alias("sh"))
     # same single-evaluation boundary as the band entries above: s1 and s2
     # both read this dataflow, and unpersisted the shingle UDF would run

@@ -112,6 +112,22 @@ def test_minhash_lsh_equals_exact_jaccard(spark):
     assert len(exact) > 0
 
 
+def test_minhash_band_strategies_identical_pairs(spark):
+    """The two candidate-generation physical strategies (codegen self-join
+    vs one-shuffle bucket grouping) must be value-identical — they differ
+    only in where the s(s-1)/2 per-bucket expansion happens (see the
+    measured tradeoff in minhash_band_candidates' docstring)."""
+    from glm_ocr_spark.operators.dedup import minhash_band_candidates
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    join_pairs = {(r.id1, r.id2) for r in
+                  minhash_band_candidates(docs, strategy="join").collect()}
+    group_pairs = {(r.id1, r.id2) for r in
+                   minhash_band_candidates(docs, strategy="group").collect()}
+    assert join_pairs == group_pairs
+    assert len(join_pairs) > 0
+
+
 def test_minhash_oracle_margin_no_borderline_pairs():
     """Banded LSH (k=32, 16 bands of r=2) misses a j=0.5 pair with prob
     ~1% — the full-value oracle equality claimed for dedup_minhash_lsh is

@@ -5,7 +5,8 @@ local[32] and scale DATA 10x — sf0.1-equivalent vs sf1-equivalent inputs.
 All prior scaling evidence varies CORES at fixed sf0.1; this measures the
 other axis of the 100x story: does per-row cost stay flat when the same
 job sees 10x the rows? Three representative phases, each timed in a fresh
-JVM per scale (warm pass, then best of 2 timed passes — bench.py method):
+JVM per scale (cold first pass, then best of 2 cache-cleared steady
+passes — see _timed):
 
   extract   — the headline extraction pipeline over gen.py transcripts
               (~630k turns at sf0.1, ~6.3M at sf1)
@@ -127,16 +128,23 @@ def ensure_docs(spark, scale: float) -> str:
     return path
 
 
-def _timed(fn, passes: int = 2):
-    """(result, cold_sec, best_warm_sec): the first execution is timed as
-    the COLD number (for the cached dedup dataflows this includes the real
-    one-time signature/shingle materialization a production run pays);
-    `passes` further executions report the steady-state best."""
+def _timed(spark, fn, passes: int = 2):
+    """(result, cold_sec, best_steady_sec): the first execution is timed as
+    the COLD number — fresh JVM, nothing cached, the cost a production run
+    pays once. Each further pass starts from a CLEARED SQL cache: operators
+    that persist internal dataflows (minhash shingles) would otherwise
+    re-register cache entries per pass, and later passes measure eviction
+    churn against earlier passes' leftovers instead of the operator (the
+    2026-08-17 sf0.1 run read dedup 'warm' 137 s vs cold 95 s by exactly
+    this mechanism). With the cache cleared, every pass does the same
+    work; only OS page cache and JIT stay warm — the steady state a
+    long-running job sees."""
     t0 = time.time()
     n = fn()
     cold = time.time() - t0
     best = None
     for _ in range(passes):
+        spark.catalog.clearCache()
         t0 = time.time()
         n = fn()
         best = min(best or 1e18, time.time() - t0)
@@ -166,7 +174,7 @@ def run_worker(scale: float) -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     spark.conf.set("spark.sql.files.openCostInBytes", "0")
     tdf = spark.read.parquet(tpath)
-    n, cold, sec = _timed(lambda: extract_transcripts(tdf).count())
+    n, cold, sec = _timed(spark, lambda: extract_transcripts(tdf).count())
     out["extract"] = {"rows": n, "cold_sec": round(cold, 2),
                       "sec": round(sec, 2),
                       "rows_per_sec": round(n / sec, 1)}
@@ -178,7 +186,7 @@ def run_worker(scale: float) -> None:
     n_docs = docs.count()
 
     pairs, cold, sec = _timed(
-        lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+        spark, lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
     out["dedup"] = {"docs": n_docs, "pairs": pairs,
                     "cold_sec": round(cold, 2), "sec": round(sec, 2),
                     "rows_per_sec": round(n_docs / sec, 1),
@@ -192,7 +200,7 @@ def run_worker(scale: float) -> None:
     spark.catalog.clearCache()
 
     flagged, cold, sec = _timed(
-        lambda: decontaminate(docs, ["7", "13"], hash_keys=True).count(),
+        spark, lambda: decontaminate(docs, ["7", "13"], hash_keys=True).count(),
         passes=2)
     out["decontam"] = {"docs": n_docs, "rows": flagged,
                        "cold_sec": round(cold, 2), "sec": round(sec, 2),
@@ -229,12 +237,14 @@ def main() -> None:
     summary = {"cores": CORES, "per_scale": results,
                "rows_per_sec_ratio_10x": {}}
     for phase in ("extract", "dedup", "decontam"):
-        a = results["0.1"][phase]["rows_per_sec"]
-        b = results["1.0"][phase]["rows_per_sec"]
-        summary["rows_per_sec_ratio_10x"][phase] = round(b / a, 3)
-    summary["rows_per_sec_ratio_10x"]["dedup_cold"] = round(
-        results["1.0"]["dedup"]["cold_rows_per_sec"]
-        / results["0.1"]["dedup"]["cold_rows_per_sec"], 3)
+        a, b = results["0.1"][phase], results["1.0"][phase]
+        summary["rows_per_sec_ratio_10x"][phase] = round(
+            b["rows_per_sec"] / a["rows_per_sec"], 3)
+        # cold ratio: per-row cost of the one-shot production run
+        # (rows/cold_sec at 1x over rows/cold_sec at 0.1x)
+        rows_key = "rows" if phase == "extract" else "docs"
+        summary["rows_per_sec_ratio_10x"][phase + "_cold"] = round(
+            (b[rows_key] / b["cold_sec"]) / (a[rows_key] / a["cold_sec"]), 3)
     with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
