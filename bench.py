@@ -459,6 +459,21 @@ def write_bench_md(result: dict) -> None:
             f"{per['1.0']['dedup']['cold_sec']}s for 10x the docs). "
             "A ratio near 1.0 = flat per-row cost at 10x the data.",
             "",
+            "Reading: extract per-row throughput IMPROVES at 10x (fixed "
+            "planning/JVM cost amortizes; the kernel is a zero-shuffle "
+            "narrow map, so nothing else changes). Dedup and decontam "
+            "lose ~35-45% per-row at 10x on this box — and that is the "
+            "fixed-memory ceiling, not operator superlinearity: candidate "
+            "pairs grow exactly linearly (22,163 -> 221,983 = 10.0x), "
+            "but 10x the band entries / exploded n-grams no longer fit "
+            "the same cache tiers (the persisted band-entry dataflow is "
+            "201M rows at 1x and spills MEMORY_AND_DISK), so the same "
+            "plan pays disk + eviction it didn't pay at 0.1x. On a real "
+            "cluster memory scales WITH data (the two-cluster-size "
+            "criterion); the core-scaling table (raw 0.979 at 4->16) is "
+            "the evidence that adding workers converts that spill back "
+            "into parallel in-memory work.",
+            "",
             "Dedup/decontam input: deterministic high-entropy synthetic "
             "documents (50k-token vocabulary, 5% planted near-dups at "
             "Jaccard ~0.5; tools/bench_sf1.py docstring). The transcript "
@@ -587,13 +602,74 @@ def write_bench_md(result: dict) -> None:
             f"{', '.join(str(x) for x in ab['head_draws_sec'])} | "
             f"{ab['head_best_sec']} |",
             "",
-            f"HEAD/ref cold-time ratio: **{ratio}** (< 1 means the "
-            "rewrite is faster; > 1 means the self-join was faster and "
-            "the rewrite trades wall time for its halved shuffle bytes).",
+            f"HEAD/ref cold-time ratio: **{ratio}**. Caveat recorded "
+            "after the fact: this run's HEAD draws span 2.7x (32-87 s) — "
+            "a noisy window — and the later HEAD-only strategy A/B below "
+            "(tighter draws, same corpus plus a 10x corpus) is the "
+            "authoritative comparison; this one's contribution is that "
+            "neither shape is catastrophically wrong, and the final "
+            "default follows the strategy table.",
         ]
 
+    def _ab_strategy_section():
+        files = [("BENCH_ab_strategy.json", "630k docs (scale 0.1)"),
+                 ("BENCH_ab_strategy_sf1.0.json", "6.3M docs (scale 1.0)")]
+        loaded = [(lbl, _load(f)) for f, lbl in files]
+        loaded = [(lbl, ab) for lbl, ab in loaded if ab]
+        if not loaded:
+            return []
+        out = [
+            "",
+            "## MinHash band-strategy tradeoff, measured on both axes "
+            "(tools/ab_minhash.py --mode strategy)",
+            "",
+            "Both strategies at HEAD (value-identical, pair-set equality "
+            "tested and pair counts asserted per run), wall time AND "
+            "shuffle-write bytes (REST stage metrics) per fresh-JVM cold "
+            "pass, strictly interleaved:",
+            "",
+            "| corpus | strategy | cold draws (s) | best (s) | "
+            "shuffle write bytes |",
+            "| --- | --- | --- | --- | --- |",
+        ]
+        for lbl, ab in loaded:
+            out += [
+                f"| {lbl} | join (persisted codegen self-join) | "
+                f"{', '.join(str(x) for x in ab['join_draws_sec'])} | "
+                f"{ab['join_best_sec']} | {ab.get('join_shuffle_bytes')} |",
+                f"| {lbl} | group (one-shuffle groupBy + in-bucket "
+                f"expansion) | "
+                f"{', '.join(str(x) for x in ab['group_draws_sec'])} | "
+                f"{ab['group_best_sec']} | "
+                f"{ab.get('group_shuffle_bytes')} |",
+            ]
+        out += [""]
+        for lbl, ab in loaded:
+            out.append(
+                f"- {lbl}: group/join wall ratio "
+                f"**{ab['group_over_join_sec']}**, bytes ratio "
+                f"**{ab.get('group_over_join_bytes', 'n/a')}**.")
+        out += [
+            "",
+            "Reading: the tradeoff is scale-dependent and both axes are "
+            "now measured. At 630k docs the wall gap (0.915) is inside "
+            "box noise; at 6.3M docs the join strategy wins wall "
+            "decisively (group = 1.456x) — collect_list plans as "
+            "ObjectHashAggregate (no codegen) and its per-row cost "
+            "dominates once buckets are large, while the self-join's "
+            "extra exchange input is memcpy on a single box. Group "
+            "consistently moves ~0.81x the shuffle bytes at both scales "
+            "(one wire crossing, no persist). Hence the default is "
+            "\"join\" (the measured wall winner on the CPU-bound shape); "
+            "\"group\" stays selectable for genuinely network-bound "
+            "clusters where ~19% fewer wire bytes can out-weigh the "
+            "codegen loss — a claim we flag as unmeasured here (no real "
+            "network in this sandbox).",
+        ]
+        return out
+
     for _builder in (_sf1_section, _stream_section, _adj_section,
-                     _ab_section, _ab_minhash_section):
+                     _ab_section, _ab_minhash_section, _ab_strategy_section):
         lines += _aux_section(_builder)
     lines += [
         "",

@@ -243,22 +243,27 @@ def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
     never all-pairs across buckets; a bucket of s docs emits s(s-1)/2
     ordered pairs under either strategy (pair-set equality is tested).
 
-    Two physical strategies, an honest measured tradeoff
-    (tools/ab_minhash.py, 630k-doc corpus, local[32], fresh-JVM cold,
-    interleaved; BENCH.md "MinHash-rewrite adjudication"):
+    Two physical strategies, an honest measured tradeoff at TWO data
+    scales (tools/ab_minhash.py --mode strategy, 630k- and 6.3M-doc
+    corpora, local[32], fresh-JVM cold, interleaved; BENCH.md "MinHash
+    band-strategy tradeoff"):
 
     - "join" (default): persist the band entries once, equality self-join
       on the band key. The band-entry dataflow crosses the wire TWICE (two
       exchange inputs), but pair expansion runs inside codegen sort-merge
-      join. Measured best 23.45 s vs 32.31 s — ~1.4x faster wall on a
-      CPU-bound local box, where shuffle "bytes" are memcpy.
+      join. At 630k docs wall is tied with "group" (21.9 vs 20.0 s best,
+      inside box noise); at 6.3M docs join wins decisively (486.8 vs
+      708.9 s — group = 1.456x) because large buckets make the
+      non-codegen aggregate the dominant cost while the extra exchange
+      input is memcpy on a single box.
     - "group": groupBy the band key, collect_list the bucket, stream pairs
       out via chained posexplode + explode(slice(...)) — the dataflow
-      crosses the wire exactly ONCE (half the shuffle bytes, no persist),
-      but collect_list plans as ObjectHashAggregate (no codegen) and pays
-      for it in wall time locally. On a network-bound cluster, where the
-      wire is the bottleneck rather than memcpy, halved shuffle bytes is
-      the winning trade — that is why the path is kept.
+      crosses the wire exactly ONCE (~0.81x the shuffle bytes at both
+      scales, no persist), but collect_list plans as ObjectHashAggregate
+      (no codegen) and pays for it in wall time as buckets grow. Kept
+      selectable for genuinely network-bound clusters where ~19% fewer
+      wire bytes can out-weigh the codegen loss (unmeasured here — no
+      real network in this sandbox).
 
     Memory shape on a hot bucket is O(s) per task under both: the join
     streams matches; the group path pins (ids, id1) with posexplode and
