@@ -486,6 +486,41 @@ def write_bench_md(result: dict) -> None:
         ]
         return out
 
+    def _weak_section():
+        wk = _load("BENCH_weak.json")
+        if not wk:
+            return []
+        arms = wk["arms"]
+        eff = wk["weak_efficiency"]
+        keys = list(arms)
+        out = [
+            "",
+            "## Weak scaling: 4x cores WITH 4x data (tools/bench_weak.py)",
+            "",
+            "Strong scaling (fixed data, more cores) and data scaling "
+            "(fixed cores, more data) are measured above; this is their "
+            "composition and the form the north rule's N -> 4N criterion "
+            "takes when a cluster actually grows — each worker keeps the "
+            "same share, so ideal wall time is FLAT (efficiency = "
+            "t_small / t_big, ideal 1.0, target >= 0.8). Arms: "
+            f"local[{arms[keys[0]]['cores']}] at "
+            f"{arms[keys[0]]['scale']}x data vs "
+            f"local[{arms[keys[1]]['cores']}] at "
+            f"{arms[keys[1]]['scale']}x; per-core heap share and "
+            "per-partition bytes held constant across arms (heap and "
+            "shuffle partitions scale with the arm).",
+            "",
+            "| phase | small-arm steady (s) | big-arm steady (s) | "
+            "weak eff (steady) | weak eff (cold) |",
+            "| --- | --- | --- | --- | --- |",
+        ]
+        for ph in ("extract", "dedup", "decontam"):
+            a, b = arms[keys[0]][ph], arms[keys[1]][ph]
+            out.append(
+                f"| {ph} | {a['sec']} | {b['sec']} | {eff[ph]} | "
+                f"{eff[ph + '_cold']} |")
+        return out
+
     def _stream_section():
         stream = _load("BENCH_streaming.json")
         if not stream:
@@ -668,8 +703,9 @@ def write_bench_md(result: dict) -> None:
         ]
         return out
 
-    for _builder in (_sf1_section, _stream_section, _adj_section,
-                     _ab_section, _ab_minhash_section, _ab_strategy_section):
+    for _builder in (_sf1_section, _weak_section, _stream_section,
+                     _adj_section, _ab_section, _ab_minhash_section,
+                     _ab_strategy_section):
         lines += _aux_section(_builder)
     lines += [
         "",

