@@ -508,17 +508,41 @@ def write_bench_md(result: dict) -> None:
             f"local[{arms[keys[1]]['cores']}] at "
             f"{arms[keys[1]]['scale']}x; per-core heap share and "
             "per-partition bytes held constant across arms (heap and "
-            "shuffle partitions scale with the arm).",
+            "shuffle partitions scale with the arm). "
+            f"{wk.get('rounds', 1)} strictly-interleaved fresh-JVM "
+            "draws per arm, per-phase best kept (single draws of the "
+            "big arm's shuffle phases swung 2-4x on this box — all "
+            "draws listed).",
             "",
-            "| phase | small-arm steady (s) | big-arm steady (s) | "
-            "weak eff (steady) | weak eff (cold) |",
+            "| phase | small-arm cold draws (s) | big-arm cold draws "
+            "(s) | weak eff (cold) | weak eff (steady) |",
             "| --- | --- | --- | --- | --- |",
         ]
         for ph in ("extract", "dedup", "decontam"):
             a, b = arms[keys[0]][ph], arms[keys[1]][ph]
+            a_draws = a.get("draws_cold_sec", [a["cold_sec"]])
+            b_draws = b.get("draws_cold_sec", [b["cold_sec"]])
             out.append(
-                f"| {ph} | {a['sec']} | {b['sec']} | {eff[ph]} | "
-                f"{eff[ph + '_cold']} |")
+                f"| {ph} | {', '.join(str(x) for x in a_draws)} | "
+                f"{', '.join(str(x) for x in b_draws)} | "
+                f"{eff[ph + '_cold']} | {eff[ph]} |")
+        out += [
+            "",
+            "Reading: extraction — the north-rule metric, a zero-shuffle "
+            "narrow map — is the phase whose weak scaling transfers to a "
+            "real cluster, and the target applies to it. The shuffle "
+            "phases (dedup, decontam) share ONE box's memory bandwidth, "
+            "L3, and spill disk across both arms here, resources a real "
+            "cluster scales WITH executors; their single-box weak "
+            "numbers are a lower bound, and the per-axis evidence "
+            "(strong scaling ~0.98 raw 4->16 at fixed data; data scaling "
+            "0.65-0.87 cold per-row at 10x on fixed cores, bench_sf1) is "
+            "the transferable signal for them. Context for the raw "
+            "ratios: the capacity probe in the Scaling section shows "
+            "4->16 procs delivers ~2.9x CPU capacity, not 4x, so a "
+            "purely CPU-bound phase at equal per-capacity efficiency "
+            "would read ~0.72 raw on this box.",
+        ]
         return out
 
     def _stream_section():
@@ -684,22 +708,30 @@ def write_bench_md(result: dict) -> None:
                 f"- {lbl}: group/join wall ratio "
                 f"**{ab['group_over_join_sec']}**, bytes ratio "
                 f"**{ab.get('group_over_join_bytes', 'n/a')}**.")
+        # loaded preserves the files order: smaller corpus first
+        small_wall = loaded[0][1]["group_over_join_sec"]
+        big_wall = loaded[-1][1]["group_over_join_sec"]
+        bytes_ratios = [ab.get("group_over_join_bytes")
+                        for _, ab in loaded
+                        if ab.get("group_over_join_bytes") is not None]
+        byte_lo = min(bytes_ratios) if bytes_ratios else None
+        byte_hi = max(bytes_ratios) if bytes_ratios else None
         out += [
             "",
             "Reading: the tradeoff is scale-dependent and both axes are "
-            "now measured. At 630k docs the wall gap (0.915) is inside "
-            "box noise; at 6.3M docs the join strategy wins wall "
-            "decisively (group = 1.456x) — collect_list plans as "
-            "ObjectHashAggregate (no codegen) and its per-row cost "
-            "dominates once buckets are large, while the self-join's "
+            f"measured. At the smaller corpus the wall gap ({small_wall}) "
+            "is inside box noise; at the larger one the join strategy "
+            f"wins wall decisively (group = {big_wall}x) — collect_list "
+            "plans as ObjectHashAggregate (no codegen) and its per-row "
+            "cost dominates once buckets are large, while the self-join's "
             "extra exchange input is memcpy on a single box. Group "
-            "consistently moves ~0.81x the shuffle bytes at both scales "
-            "(one wire crossing, no persist). Hence the default is "
+            f"consistently moves fewer shuffle bytes ({byte_lo}-{byte_hi}"
+            "x, one wire crossing, no persist). Hence the default is "
             "\"join\" (the measured wall winner on the CPU-bound shape); "
             "\"group\" stays selectable for genuinely network-bound "
-            "clusters where ~19% fewer wire bytes can out-weigh the "
-            "codegen loss — a claim we flag as unmeasured here (no real "
-            "network in this sandbox).",
+            "clusters where the byte saving can out-weigh the codegen "
+            "loss — a claim we flag as unmeasured here (no real network "
+            "in this sandbox).",
         ]
         return out
 
@@ -724,7 +756,24 @@ def main() -> None:
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--master", default=None)
     ap.add_argument("--input", default=None)
+    ap.add_argument("--render-only", action="store_true",
+                    help="regenerate BENCH.md from BENCH_full.json + the "
+                         "auxiliary BENCH_*.json files without re-running "
+                         "(picks up new aux sections, e.g. a fresh "
+                         "BENCH_weak.json, at zero Spark cost)")
     args = ap.parse_args()
+
+    if args.render_only:
+        try:
+            with open(os.path.join(REPO, "BENCH_full.json")) as f:
+                result = json.load(f)
+        except (OSError, ValueError) as exc:
+            raise SystemExit(
+                f"--render-only needs a parseable BENCH_full.json at the "
+                f"repo root (run bench.py first): {exc}")
+        write_bench_md(result)
+        print("BENCH.md re-rendered from BENCH_full.json")
+        return
 
     if args.extract_only:
         run_extract_only(args.master, args.input)
@@ -789,6 +838,7 @@ def main() -> None:
         "q10_returned_items", "q4_priority_with_returns",
         "q6_revenue", "q14_promo_revenue", "q19_disjunctive_revenue",
         "cube_events", "pivot_events", "rollup_events",
+        "distinct_users_approx_raw",
         "asof_view_before_purchase", "range_join_views_before_purchase",
         "mm_media_meta", "mm_frame_sample",
     ]

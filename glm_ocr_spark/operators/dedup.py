@@ -168,6 +168,34 @@ LSH_BANDS = 16          # bands of r = K / BANDS rows; r=2 -> candidate prob
 # 31-bit Mersenne prime: with base < 2^31 and a,b < 2^31 the affine form
 # base*a + b stays under 2^63, so the whole family runs in JVM longs with no
 # overflow (ANSI mode safe).
+# Dataflows this module pins with persist() (band entries, shingle
+# arrays). A returned DataFrame is lazy, so the operator cannot unpersist
+# them itself — they must outlive the CALLER's action. In a job-per-run
+# deployment the JVM exit releases them; a long-lived session (the
+# correctness driver, a notebook, repeated dedup calls) should call
+# `release_persisted()` after consuming each result, or the
+# MEMORY_AND_DISK blocks accumulate and squeeze later shuffles (review
+# finding; the interference bench_sf1 measured as 51.5 s warm vs 18.5 s
+# cold).
+_PERSISTED: list = []
+
+
+def release_persisted() -> int:
+    """Unpersist every dataflow this module pinned since the last call;
+    returns how many were released. Safe to call at any time — only
+    affects this module's internal caches, never caller-created ones
+    (unlike spark.catalog.clearCache())."""
+    n = 0
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session gone or block already dropped — nothing to free
+    _PERSISTED.clear()
+    return n
+
+
 _MERSENNE = (1 << 31) - 1
 
 
@@ -298,6 +326,7 @@ def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
         # 100 TB you'd persist signatures as a table; persist() is the
         # in-job equivalent (LRU-evictable, spills to disk).
         band_entries = band_entries.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(band_entries)
         a = band_entries.alias("a")
         b = band_entries.alias("b")
         return (
@@ -343,6 +372,11 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
     the two verify joins move only candidate rows + their shingle arrays.
     `strategy` selects the candidate-generation physical shape — see
     minhash_band_candidates for the measured join-vs-group tradeoff.
+
+    Lifetime note: this pins the band entries (join strategy) and the
+    shingle arrays with persist() for the duration of the caller's
+    action; long-lived sessions should call `release_persisted()` after
+    consuming the result (see the note at `_PERSISTED`).
     """
     from pyspark import StorageLevel
 
@@ -352,6 +386,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
     # both read this dataflow, and unpersisted the shingle UDF would run
     # two more full corpus passes
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(sh)
     s1 = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
     common = F.size(F.array_intersect("sh1", "sh2"))

@@ -95,15 +95,17 @@ def decode_image_stub(payload: bytes, *, fake: bool = True,
 def hist_feature(hist: list[int], dim: int) -> list[float]:
     """dim-bin normalized rollup of a 256-bin grayscale histogram.
 
-    Ceiling division so every one of the 256 histogram bins lands in
-    exactly one feature slot: floor (256 // dim) silently dropped the
-    tail bins for dim not dividing 256 (feature no longer summed to 1)
-    and produced an all-zero feature for dim > 256 (review finding).
-    PIL-free on purpose so the binning is unit-testable in this
-    container; `decode_image_real` is the PIL-gated caller."""
-    binsz = -(-256 // dim)
+    Balanced binning (slot i covers hist[256*i//dim : 256*(i+1)//dim]) so
+    every one of the 256 histogram bins lands in exactly one feature slot
+    AND every feature slot covers a near-equal bin range. The two earlier
+    schemes both failed a review: floor (256 // dim) dropped the tail
+    bins for dim not dividing 256 (feature no longer summed to 1, all
+    zeros for dim > 256), and ceiling division exhausted the 256 bins
+    early (dim=100 left 14 structurally-dead trailing slots). PIL-free on
+    purpose so the binning is unit-testable in this container;
+    `decode_image_real` is the PIL-gated caller."""
     total = float(sum(hist)) or 1.0
-    return [sum(hist[i * binsz:(i + 1) * binsz]) / total
+    return [sum(hist[256 * i // dim:256 * (i + 1) // dim]) / total
             for i in range(dim)]
 
 

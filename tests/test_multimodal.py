@@ -107,10 +107,12 @@ def test_feature_gate_real_decode_with_pil(spark):
 
 
 def test_hist_feature_covers_all_bins_for_any_dim():
-    """ADVICE r4: floor binning dropped tail bins for dim not dividing 256
-    (feature stopped summing to 1) and zeroed the feature for dim > 256.
-    Ceiling binning must keep sum == 1 for every dim and put each of the
-    256 histogram bins in exactly one slot."""
+    """ADVICE r4 + round-5 review: floor binning dropped tail bins for dim
+    not dividing 256 (feature stopped summing to 1, zeros for dim > 256);
+    ceiling binning exhausted the 256 bins early (dim=100 left 14
+    structurally-dead trailing slots). Balanced binning must keep
+    sum == 1 for every dim, put each of the 256 histogram bins in exactly
+    one slot, and leave no slot structurally zero for dim <= 256."""
     from glm_ocr_spark.operators.multimodal import hist_feature
 
     hist = [i + 1 for i in range(256)]  # every bin non-zero, all distinct
@@ -118,7 +120,12 @@ def test_hist_feature_covers_all_bins_for_any_dim():
         feat = hist_feature(hist, dim)
         assert len(feat) == dim
         assert abs(sum(feat) - 1.0) < 1e-12, dim
-    # dim=7 regression shape: ceil binsz=37, last slot holds bins 222..255
+        if dim <= 256:
+            # with every input bin non-zero, a zero slot means the slot
+            # covers no bins at all — the dim=100 ceiling-binning defect
+            assert all(f > 0 for f in feat), dim
+    # dim=7 balanced shape: slot i covers hist[256*i//7 : 256*(i+1)//7];
+    # the last slot holds bins 219..255
     feat7 = hist_feature(hist, 7)
     total = sum(hist)
-    assert feat7[6] == sum(hist[222:256]) / total
+    assert feat7[6] == sum(hist[256 * 6 // 7:256]) / total

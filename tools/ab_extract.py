@@ -67,8 +67,15 @@ def main() -> None:
         raise SystemExit("materialize the sf0.1 corpus first (run bench.py)")
 
     wt = os.path.join(REPO, f".ab_{args.ref}")
-    subprocess.run(["git", "worktree", "add", "--detach", wt, args.ref],
-                   cwd=REPO, check=True, capture_output=True)
+    # a leftover worktree from a killed run (the finally below never ran)
+    # must not crash the retry — same guard as ab_minhash
+    if not os.path.exists(wt):
+        proc = subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, args.ref],
+            cwd=REPO, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise SystemExit(
+                f"git worktree add failed: {proc.stderr[-1000:]}")
     try:
         draws: dict[str, list[float]] = {"ref": [], "head": []}
         rows = None
