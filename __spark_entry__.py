@@ -302,6 +302,34 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_id=0)
 
 
+SEMDEDUP_CELLS = 16
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) survivors over the corpus plus the 10
+    planted cosine-~0.998 neighbors of vec 0: k-means-style cells bound
+    the quadratic near-dup comparison to within-cell pairs; a vector is
+    dropped iff an earlier (lower vec_id) vector in ITS cell has cosine
+    >= 0.9. Centroids here are the FIXED first-16 embeddings
+    (`fixed_centroids`) so both the cell assignment (cosine argmax, ties
+    to the lowest cell) and every drop decision are plain relational
+    algebra — the DuckDB oracle reproduces the whole pipeline value-exact.
+    The planted vectors form a near-dup clique with vec 0 inside vec 0's
+    cell, so the expected drop set is exactly the 10 planted ids
+    (non-trivial by construction; asserted with margin checks in
+    tests/test_semantic_dedup.py, which also verifies the default
+    trained-k-means path by sequential-NumPy parity)."""
+    from glm_ocr_spark.operators.similarity import (
+        fixed_centroids,
+        semantic_dedup,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cents = fixed_centroids(emb, SEMDEDUP_CELLS)
+    return semantic_dedup(_emb_with_planted_ann_neighbors(emb),
+                          threshold=0.9, centroids=cents)
+
+
 def q_emb_neardup(spark, sf_dir):
     """DEMO regime (t=0.5, 16 bands x 3 planes): weak cosine similarity
     gives weak LSH locality, so ~87% of all pairs stay candidates — this
@@ -846,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # function default (t=0.9, neardup_params banding, ~1% candidates)
         "emb_neardup": q_emb_neardup,
         "emb_neardup_strict": q_emb_neardup_strict,
+        "semdedup": q_semdedup,
         "passage_dedup": q_passage_dedup,
         "top_ngrams": q_top_ngrams,
         "gopher_quality": q_gopher_quality,
@@ -857,7 +886,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "curation_pipeline": q_curation_pipeline,
         "rep_ngram_fractions": q_rep_ngram_fractions,
-        "q14_promo_revenue": q_q14_promo_revenue,
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
         "mm_frame_sample": q_mm_frame_sample,
         "asof_view_before_purchase": q_asof_view_before_purchase,
@@ -898,6 +926,11 @@ def bench_only() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_active_customers": q_semi_join_active_customers,
         "anti_join_inactive_parts": q_anti_join_inactive_parts,
         "rollup_events": q_rollup_events,
+        # round 5: demoted to make room for `semdedup` at the 50-query cap —
+        # its shape (broadcast dim join + conditional-ratio aggregate) is
+        # covered by the advertised q19_disjunctive_revenue (broadcast join
+        # + disjunctive filter agg) and q6_revenue (pushed-filter agg)
+        "q14_promo_revenue": q_q14_promo_revenue,
         "distinct_users_per_type": q_distinct_users_per_type,
         "distinct_users_approx_raw": q_distinct_users_approx_raw,
         "segment_revenue": q_segment_revenue,
@@ -1370,6 +1403,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id != 0
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 10
+        """,
+        # SemDeDup survivors, full pipeline mirrored: same planted
+        # augmentation as ann_ivf_topk, centroids = the first 16 BASE
+        # embeddings (fixed_centroids — cell id = vec_id because both
+        # engines order centroids by vec_id), cell = cosine argmax with
+        # ties to the LOWEST cell (np.argmax semantics = row_number over
+        # s DESC, cell ASC), drop rule = exists an earlier same-cell
+        # vector at cosine >= 0.9 (the published upper-triangular rule)
+        "semdedup": f"""
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+            q AS (SELECT emb AS qv FROM base WHERE vec_id = 0),
+            planted AS (
+              SELECT a.vec_id + {ANN_PLANT_OFFSET} AS vec_id,
+                     list_transform(list_zip(qv, a.emb),
+                                    s -> 20.0 * s[1] + s[2]) AS emb
+              FROM base a, q
+              WHERE a.vec_id >= 1 AND a.vec_id <= {ANN_PLANT_N}),
+            aug AS (
+              SELECT vec_id, emb FROM base
+              UNION ALL SELECT vec_id, emb FROM planted),
+            cents AS (
+              SELECT vec_id AS cell, emb AS cemb FROM base
+              WHERE vec_id < {SEMDEDUP_CELLS}),
+            sims AS (
+              SELECT v.vec_id, c.cell,
+                     list_dot_product(v.emb, c.cemb)
+                       / (sqrt(list_dot_product(v.emb, v.emb))
+                          * sqrt(list_dot_product(c.cemb, c.cemb))) AS s
+              FROM aug v CROSS JOIN cents c),
+            assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell ASC) AS rk
+                FROM sims) WHERE rk = 1),
+            pts AS (
+              SELECT a.vec_id, a.cell, v.emb
+              FROM assign a JOIN aug v USING (vec_id)),
+            dropped AS (
+              SELECT DISTINCT d.vec_id
+              FROM pts k JOIN pts d
+                ON k.cell = d.cell AND k.vec_id < d.vec_id
+              WHERE list_dot_product(k.emb, d.emb)
+                      / (sqrt(list_dot_product(k.emb, k.emb))
+                         * sqrt(list_dot_product(d.emb, d.emb))) >= 0.9)
+            SELECT vec_id, cell FROM pts
+            WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         """,
         # CCNet-style passage dedup: 10-word chunks, first (doc_id,
         # chunk_idx) occurrence of each distinct passage survives

@@ -828,7 +828,7 @@ def main() -> None:
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_components", "ann_cosine_topk",
         "ann_lsh_topk", "ann_ivf_topk", "emb_neardup", "emb_neardup_strict",
-        "quality_score",
+        "semdedup", "quality_score",
         "fingerprint", "winnow_fingerprint", "token_count_bpe",
         "doc_length_percentiles", "doc_length_percentiles_approx",
         "gopher_quality", "bm25_scores", "quota_per_source",

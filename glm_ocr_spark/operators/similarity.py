@@ -413,3 +413,159 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
         .filter(F.col("_cos") >= threshold)
         .select("id1", "id2", F.round("_cos", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster-scoped embedding near-dup removal.
+# Public method: Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication" (arXiv:2303.09540). The insight
+# that makes it the 100 TB shape: k-means cells bound the quadratic pair
+# comparison to WITHIN-cell pairs, so growing n_cells proportionally with
+# the corpus keeps per-cell population (and thus per-cell cost) constant —
+# total work stays linear in rows where global near-dup would be quadratic.
+# Reference analog: none (the reference has no embedding pipeline); this is
+# part of the training-data-curation surface alongside
+# embedding_neardup_pairs (LSH-banded, threshold-targeted) — semantic dedup
+# trades its tunable per-pair recall guarantee for a hard per-cell cost
+# bound and centroid reuse with the IVF ANN index.
+# ---------------------------------------------------------------------------
+
+
+def fixed_centroids(emb: DataFrame, n_cells: int) -> np.ndarray:
+    """The first `n_cells` embeddings (by vec_id) as centroids — a
+    deterministic, data-derived centroid set whose construction is plain
+    relational algebra, so an external SQL engine can reproduce the full
+    semantic-dedup result for verification (the trained-k-means path is
+    verified separately by sequential-NumPy parity). Driver collect is
+    O(n_cells), never O(corpus)."""
+    rows = (emb.filter(F.col("vec_id") < n_cells).orderBy("vec_id")
+            .select("embedding").collect())
+    return np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in rows])
+
+
+def ivf_cell_sim_udf(centroids: np.ndarray):
+    """pandas UDF: embedding -> struct(cell, cent_sim) where cell is the
+    nearest-centroid id (cosine argmax, ties to the lowest cell id via
+    np.argmax) and cent_sim the cosine to that centroid. One matmul per
+    Arrow batch, map-side — the cent_sim comes for free from the same
+    similarity matrix `ivf_cell_udf` already computes."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("cell int, cent_sim double")
+    def _cell_sim(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "cent_sim": pd.Series([], dtype="float64")})
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ cn.T
+        cells = np.argmax(sims, axis=1)
+        return pd.DataFrame({
+            "cell": cells.astype(np.int32),
+            "cent_sim": sims[np.arange(len(cells)), cells]})
+
+    return _cell_sim
+
+
+def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.9,
+                         n_cells: int = IVF_CELLS,
+                         centroids: np.ndarray | None = None,
+                         order: str = "vec_id") -> DataFrame:
+    """(drop_id, keep_id, cell, cos_sim) for every within-cell pair at
+    cosine >= threshold where keep_id precedes drop_id in the dedup order.
+
+    The drop rule is the published SemDeDup one (upper-triangular max):
+    a point is dropped iff ANY earlier-ordered point in its cell is within
+    the threshold — not only kept ones — which makes the result order-
+    deterministic and embarrassingly parallel per cell (no sequential
+    greedy pass). `order` selects the precedence:
+      "vec_id"   — ascending vec_id (deterministic, data-independent);
+      "centroid" — ascending cosine-to-own-centroid, ties by vec_id (the
+                   paper's keep-outliers policy: of a dup group, the
+                   points FAR from the centroid survive).
+
+    Physical shape: cell assignment is one map-side Arrow matmul (zero
+    shuffle); the pair join shuffles each side once hash-partitioned on
+    `cell` (linear bytes — embeddings cross the wire exactly twice), and
+    the quadratic comparison runs only within a cell. Skew note: a hot
+    cell is quadratic in ITS population; the mitigation is more cells
+    (n_cells scales with corpus size — salting cannot apply because every
+    within-cell pair must meet). With the table materialized via
+    `ivf_write_partitioned` the join co-locates on the partition column
+    and the exchange disappears. The cosine is materialized ONCE via
+    withColumn before the threshold filter (Filter/Project CSE boundary —
+    same fix as embedding_neardup_pairs, SCALE.md). The assignment UDF is
+    deliberately NOT persisted even though the self-join evaluates it once
+    per side: it is one Arrow matmul over a column scan (no explosion),
+    and a pinned MEMORY_AND_DISK copy of the corpus would cost more than
+    the recompute (the minhash persist lesson applies only to dataflows
+    whose recompute is a multi-pass UDF explosion)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_cells)
+    cells = _semdedup_assign(emb, centroids, order)
+    return _semdedup_drop_pairs(cells, threshold, order)
+
+
+def _semdedup_assign(emb: DataFrame, centroids: np.ndarray,
+                     order: str) -> DataFrame:
+    """(vec_id, embedding, cell, _ord): cell assignment + precedence key,
+    computed in ONE map-side pass so semantic_dedup doesn't run the
+    assignment matmul once for the survivor side and again inside the
+    pair join."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    if order == "vec_id":
+        return (base.withColumn(
+            "cell", ivf_cell_udf(centroids)(F.col("embedding")))
+            .withColumn("_ord", F.col("vec_id")))
+    if order == "centroid":
+        cs = ivf_cell_sim_udf(centroids)(F.col("embedding"))
+        return (base.withColumn("_cs", cs)
+                .select("vec_id", "embedding",
+                        F.col("_cs.cell").alias("cell"),
+                        F.col("_cs.cent_sim").alias("_ord")))
+    raise ValueError(f"unknown order {order!r}")
+
+
+def _semdedup_drop_pairs(cells: DataFrame, threshold: float,
+                         order: str) -> DataFrame:
+    k = cells.alias("k")
+    d = cells.alias("d")
+    precedes = F.col("k._ord") < F.col("d._ord")
+    if order == "centroid":
+        # _ord is a float similarity — break exact ties by vec_id so the
+        # precedence is a strict total order (vec_id mode needs no tie
+        # rule: vec_id is unique)
+        precedes = precedes | (
+            (F.col("k._ord") == F.col("d._ord"))
+            & (F.col("k.vec_id") < F.col("d.vec_id")))
+    sim = _dot(F.col("k.embedding"), F.col("d.embedding")) / (
+        _norm(F.col("k.embedding")) * _norm(F.col("d.embedding")))
+    return (
+        k.join(d, (F.col("k.cell") == F.col("d.cell")) & precedes)
+        .withColumn("_cos", sim)
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("d.vec_id").alias("drop_id"),
+                F.col("k.vec_id").alias("keep_id"),
+                F.col("k.cell").alias("cell"),
+                F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.9,
+                   n_cells: int = IVF_CELLS,
+                   centroids: np.ndarray | None = None,
+                   order: str = "vec_id") -> DataFrame:
+    """SemDeDup survivors: (vec_id, cell) for every embedding NOT dropped
+    by `semantic_dedup_pairs` — one left-anti join against the distinct
+    drop set (ids only on the wire). See semantic_dedup_pairs for the
+    algorithm, determinism, and the per-cell cost bound that makes this
+    the semantic-dedup shape that survives 100 TB."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_cells)
+    cells = _semdedup_assign(emb, centroids, order)
+    dropped = (_semdedup_drop_pairs(cells, threshold, order)
+               .select(F.col("drop_id").alias("vec_id")).distinct())
+    return cells.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")
