@@ -1443,10 +1443,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.vec_id, a.cell, v.emb
               FROM assign a JOIN aug v USING (vec_id)),
             dropped AS (
+              -- zero-norm guard mirrors _semdedup_drop_pairs: a zero
+              -- embedding is never a near-dup (cosine undefined)
               SELECT DISTINCT d.vec_id
               FROM pts k JOIN pts d
                 ON k.cell = d.cell AND k.vec_id < d.vec_id
-              WHERE list_dot_product(k.emb, d.emb)
+              WHERE list_dot_product(k.emb, k.emb) > 0
+                AND list_dot_product(d.emb, d.emb) > 0
+                AND list_dot_product(k.emb, d.emb)
                       / (sqrt(list_dot_product(k.emb, k.emb))
                          * sqrt(list_dot_product(d.emb, d.emb))) >= 0.9)
             SELECT vec_id, cell FROM pts

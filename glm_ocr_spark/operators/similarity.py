@@ -226,6 +226,21 @@ def train_ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS,
     return c
 
 
+def _cell_argmax(emb_batch, cn: np.ndarray):
+    """THE cell-assignment kernel: normalized rows x normalized-centroid
+    matmul, argmax with ties to the lowest cell (np.argmax), zero vectors
+    guarded by treating their norm as 1. Single definition shared by
+    `ivf_cell_udf` and `ivf_cell_sim_udf` so the IVF index and semantic
+    dedup can never assign the same corpus to different cells (review
+    finding: the two UDFs used to duplicate this math). Returns
+    (cells int array, per-row similarity-to-every-cell matrix)."""
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in emb_batch])
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sims = (m / norms) @ cn.T
+    return np.argmax(sims, axis=1), sims
+
+
 def ivf_cell_udf(centroids: np.ndarray):
     """pandas UDF: embedding -> nearest-centroid cell id (cosine argmax).
 
@@ -237,10 +252,8 @@ def ivf_cell_udf(centroids: np.ndarray):
     def _cell(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype="int32")
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        return pd.Series(np.argmax((m / norms) @ cn.T, axis=1).astype(np.int32))
+        cells, _ = _cell_argmax(emb, cn)
+        return pd.Series(cells.astype(np.int32))
 
     return _cell
 
@@ -437,19 +450,29 @@ def fixed_centroids(emb: DataFrame, n_cells: int) -> np.ndarray:
     relational algebra, so an external SQL engine can reproduce the full
     semantic-dedup result for verification (the trained-k-means path is
     verified separately by sequential-NumPy parity). Driver collect is
-    O(n_cells), never O(corpus)."""
+    O(n_cells), never O(corpus).
+
+    Requires vec_ids to be dense 0..n_cells-1 (asserted): with a gap or a
+    non-zero start the positional cell labels would silently diverge from
+    an external verifier's `cell = vec_id` labeling (review finding)."""
     rows = (emb.filter(F.col("vec_id") < n_cells).orderBy("vec_id")
-            .select("embedding").collect())
+            .select("vec_id", "embedding").collect())
+    ids = [r["vec_id"] for r in rows]
+    if ids != list(range(n_cells)):
+        raise ValueError(
+            f"fixed_centroids needs dense vec_ids 0..{n_cells - 1}; "
+            f"got {ids[:8]}{'...' if len(ids) > 8 else ''} — positional "
+            "cell labels would not match cell = vec_id")
     return np.stack([np.asarray(r["embedding"], dtype=np.float64)
                      for r in rows])
 
 
 def ivf_cell_sim_udf(centroids: np.ndarray):
     """pandas UDF: embedding -> struct(cell, cent_sim) where cell is the
-    nearest-centroid id (cosine argmax, ties to the lowest cell id via
-    np.argmax) and cent_sim the cosine to that centroid. One matmul per
-    Arrow batch, map-side — the cent_sim comes for free from the same
-    similarity matrix `ivf_cell_udf` already computes."""
+    nearest-centroid id and cent_sim the cosine to that centroid — the
+    same `_cell_argmax` kernel as `ivf_cell_udf` (single definition, so
+    the two can never disagree), keeping the cent_sim that kernel already
+    computes. One matmul per Arrow batch, map-side."""
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     @F.pandas_udf("cell int, cent_sim double")
@@ -457,11 +480,7 @@ def ivf_cell_sim_udf(centroids: np.ndarray):
         if len(emb) == 0:
             return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
                                  "cent_sim": pd.Series([], dtype="float64")})
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (m / norms) @ cn.T
-        cells = np.argmax(sims, axis=1)
+        cells, sims = _cell_argmax(emb, cn)
         return pd.DataFrame({
             "cell": cells.astype(np.int32),
             "cent_sim": sims[np.arange(len(cells)), cells]})
@@ -502,10 +521,18 @@ def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.9,
     and a pinned MEMORY_AND_DISK copy of the corpus would cost more than
     the recompute (the minhash persist lesson applies only to dataflows
     whose recompute is a multi-pass UDF explosion)."""
+    _check_order(order)
     if centroids is None:
         centroids = train_ivf_centroids(emb, n_cells)
     cells = _semdedup_assign(emb, centroids, order)
     return _semdedup_drop_pairs(cells, threshold, order)
+
+
+def _check_order(order: str) -> None:
+    """Validate before any work: an order typo must not first pay the
+    k-means train + driver collect (review finding)."""
+    if order not in ("vec_id", "centroid"):
+        raise ValueError(f"unknown order {order!r}")
 
 
 def _semdedup_assign(emb: DataFrame, centroids: np.ndarray,
@@ -526,7 +553,8 @@ def _semdedup_assign(emb: DataFrame, centroids: np.ndarray,
                 .select("vec_id", "embedding",
                         F.col("_cs.cell").alias("cell"),
                         F.col("_cs.cent_sim").alias("_ord")))
-    raise ValueError(f"unknown order {order!r}")
+    _check_order(order)
+    raise AssertionError("unreachable")
 
 
 def _semdedup_drop_pairs(cells: DataFrame, threshold: float,
@@ -541,8 +569,17 @@ def _semdedup_drop_pairs(cells: DataFrame, threshold: float,
         precedes = precedes | (
             (F.col("k._ord") == F.col("d._ord"))
             & (F.col("k.vec_id") < F.col("d.vec_id")))
-    sim = _dot(F.col("k.embedding"), F.col("d.embedding")) / (
-        _norm(F.col("k.embedding")) * _norm(F.col("d.embedding")))
+    # zero-norm guard: a zero embedding is NEVER a near-dup of anything
+    # (cosine undefined). Without the guard Spark yields NULL (never
+    # drops) while an external verifier computing 0/0 = NaN under
+    # NaN-is-greatest comparison semantics would drop everything after it
+    # in the cell — engine divergence on degenerate input (review
+    # finding). Same guard pattern as cosine_sim_col (-1 here rather than
+    # 0 so "undefined" can never pass even a zero/negative threshold).
+    normprod = _norm(F.col("k.embedding")) * _norm(F.col("d.embedding"))
+    sim = F.when(normprod > 0,
+                 _dot(F.col("k.embedding"), F.col("d.embedding")) / normprod
+                 ).otherwise(F.lit(-1.0))
     return (
         k.join(d, (F.col("k.cell") == F.col("d.cell")) & precedes)
         .withColumn("_cos", sim)
@@ -562,7 +599,15 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.9,
     by `semantic_dedup_pairs` — one left-anti join against the distinct
     drop set (ids only on the wire). See semantic_dedup_pairs for the
     algorithm, determinism, and the per-cell cost bound that makes this
-    the semantic-dedup shape that survives 100 TB."""
+    the semantic-dedup shape that survives 100 TB.
+
+    Cost note: the assignment UDF evaluates THREE times here (both pair-
+    join sides + the survivor side; the survivor side's shuffle carries
+    only (vec_id, cell) — embedding is pruned). Still cheaper than
+    pinning a corpus-sized MEMORY_AND_DISK cache for one extra matmul
+    pass over a column scan; callers that persist `emb` themselves get
+    the scan amortized across all three."""
+    _check_order(order)
     if centroids is None:
         centroids = train_ivf_centroids(emb, n_cells)
     cells = _semdedup_assign(emb, centroids, order)

@@ -53,6 +53,28 @@ def _spark_emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _assert_engine_margins(emb, cents, threshold):
+    """Exact cross-engine set equality is only a sound assertion when no
+    decision sits within float-noise of a boundary (JVM fold vs NumPy
+    matmul sum in different orders): top-2 centroid sims must differ by
+    > 1e-9 and no in-cell pair cosine may sit within 1e-9 of the
+    threshold. If data or parameters ever violate this, the right fix is
+    different parameters — not a tolerance in the equality assert."""
+    xn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    sims = xn @ cn.T
+    if sims.shape[1] > 1:
+        top2 = np.sort(sims, axis=1)[:, -2:]
+        assert np.min(top2[:, 1] - top2[:, 0]) > 1e-9
+    cells = np.argmax(sims, axis=1)
+    for c in np.unique(cells):
+        m = np.where(cells == c)[0]
+        pair = xn[m] @ xn[m].T
+        iu = np.triu_indices(len(m), k=1)
+        if len(iu[0]):
+            assert np.min(np.abs(pair[iu] - threshold)) > 1e-9, c
+
+
 def test_semantic_dedup_matches_numpy_oracle_trained_centroids(spark):
     """Default path: trained spherical-k-means centroids (the production
     configuration). Survivors and cell assignments must equal the
@@ -65,6 +87,7 @@ def test_semantic_dedup_matches_numpy_oracle_trained_centroids(spark):
     ids, emb = _load(SF2)
     sdf = _spark_emb(spark, SF2)
     cents = train_ivf_centroids(sdf, n_cells=8)
+    _assert_engine_margins(emb, cents, threshold=0.4)
     got = {(r["vec_id"], r["cell"])
            for r in semantic_dedup(sdf, threshold=0.4, n_cells=8,
                                    centroids=cents).collect()}
@@ -180,7 +203,48 @@ def test_fixed_centroids_bounded_and_ordered(spark):
 
 
 def test_semantic_dedup_rejects_unknown_order(spark):
-    from glm_ocr_spark.operators.similarity import semantic_dedup
+    """Must raise BEFORE training centroids or collecting anything
+    (review finding: the old bottom-of-assign validation paid a k-means
+    train per typo) — so no .collect() is needed to trigger it."""
+    from glm_ocr_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
 
     with pytest.raises(ValueError, match="unknown order"):
-        semantic_dedup(_spark_emb(spark, SF1), order="nope").collect()
+        semantic_dedup(_spark_emb(spark, SF1), order="nope")
+    with pytest.raises(ValueError, match="unknown order"):
+        semantic_dedup_pairs(_spark_emb(spark, SF1), order="nope")
+
+
+def test_zero_embedding_never_drops_or_is_dropped(spark):
+    """A zero embedding has undefined cosine: it must neither drop other
+    vectors nor be dropped (review finding — without the norm guard Spark
+    yields NULL while a NaN-is-greatest SQL engine drops everything after
+    it in the cell; both sides now guard explicitly). The zero vector's
+    vec_id (999,999) is LOWER-ordered than nothing here, but its cell is
+    shared with real vectors, so an unguarded implementation would emit
+    NULL-cosine pairs; with the zero vector planted FIRST (vec_id -1) an
+    unguarded NaN verifier would drop its whole cell."""
+    import pyspark.sql.functions as F
+
+    from glm_ocr_spark.operators.similarity import (
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    base = _spark_emb(spark, SF1).limit(20)
+    cents = train_ivf_centroids(base, n_cells=4)
+    zero = base.limit(1).select(
+        F.lit(-1).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.0)).alias("embedding"),
+        F.lit(0).alias("label"))
+    aug = base.unionByName(zero)
+    survivors = {r["vec_id"] for r in semantic_dedup(
+        aug, threshold=0.4, centroids=cents).collect()}
+    assert -1 in survivors  # never dropped
+    plain = {r["vec_id"] for r in semantic_dedup(
+        base, threshold=0.4, centroids=cents).collect()}
+    # same centroids, zero vector planted ahead of everything in its cell
+    # -> no other survivor changes (it never drops anyone)
+    assert survivors - {-1} == plain
