@@ -395,6 +395,26 @@ def write_bench_md(result: dict) -> None:
             "and matches its brute-force oracle value-exact (round-4: "
             "the row verifies 5 found pairs, no longer 0 == 0).",
         ]
+    spf = result.get("semdedup_pair_fraction") or {}
+    if spf:
+        lines += [
+            "",
+            "## SemDeDup within-cell pair fraction (compared pairs / all "
+            "pairs)",
+            "",
+            "| cells | fraction |",
+            "| --- | --- |",
+        ] + [f"| {k} | {v} |" for k, v in sorted(spf.items())] + [
+            "",
+            "The cell partition's hard bound on the quadratic comparison "
+            "— the semantic-dedup analog of the LSH candidate ratio. "
+            "Unlike LSH banding (probabilistic per-pair recall), the "
+            "bound here is structural: only within-cell pairs are ever "
+            "compared, and the fraction shrinks as ~1/n_cells when cells "
+            "stay balanced — grow n_cells with the corpus and per-cell "
+            "cost stays constant (SemDeDup's scale argument, "
+            "arXiv:2303.09540).",
+        ]
     # Persistent auxiliary measurements (produced by their own tools, not
     # this run): rendered from repo-root JSONs so bench.py regenerations
     # never lose them.
@@ -930,6 +950,27 @@ def main() -> None:
             neardup_band_candidates(emb, sb, sp).count() / all_pairs, 4),
     }
 
+    # semdedup within-cell pair fraction: sum(n_c choose 2) / (n choose 2)
+    # — the hard bound on how much of the quadratic comparison the cell
+    # partition removes, measured for the advertised fixed-16-cell config
+    # and the production trained-128-cell default. This is the semantic-
+    # dedup analog of the LSH candidate ratio above: the number that says
+    # whether the shape survives 100x.
+    from glm_ocr_spark.operators.similarity import (
+        fixed_centroids,
+        ivf_cell_udf,
+        train_ivf_centroids,
+    )
+    semdedup_pair_fraction = {}
+    for label, cent in (
+            ("fixed_16", fixed_centroids(emb, 16)),
+            ("trained_128", train_ivf_centroids(emb, 128))):
+        sizes = [r["count"] for r in emb.withColumn(
+            "cell", ivf_cell_udf(cent)(SF.col("embedding")))
+            .groupBy("cell").count().collect()]
+        within = sum(s * (s - 1) // 2 for s in sizes)
+        semdedup_pair_fraction[label] = round(within / all_pairs, 4)
+
     # passage_dedup key-compression A/B (round-3 verdict ask #7): the
     # hash_keys switch rides 8-byte xxhash64 keys through the one window
     # shuffle instead of the passage text — measure the shuffle-bytes
@@ -969,6 +1010,7 @@ def main() -> None:
         "turns_per_sec": round(turns_per_sec, 1),
         "ann_recall_at_10": ann_recall,
         "neardup_candidate_ratio": neardup_candidate_ratio,
+        "semdedup_pair_fraction": semdedup_pair_fraction,
         # shuffle-bytes evidence for the north rule: everything written to
         # shuffle across the extraction passes is the count() partial
         # aggregation (a few KB); payloads never cross the wire
