@@ -511,9 +511,12 @@ def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.9,
     the quadratic comparison runs only within a cell. Skew note: a hot
     cell is quadratic in ITS population; the mitigation is more cells
     (n_cells scales with corpus size — salting cannot apply because every
-    within-cell pair must meet). With the table materialized via
-    `ivf_write_partitioned` the join co-locates on the partition column
-    and the exchange disappears. The cosine is materialized ONCE via
+    within-cell pair must meet). Materializing via `ivf_write_partitioned`
+    gives partition PRUNING (process a cell subset without scanning the
+    rest), but NOT exchange elimination — a plain-parquet partitioned
+    read reports no output partitioning to Catalyst, so the self-join
+    still shuffles; exchange-free needs `bucketBy(cell).saveAsTable` or a
+    DSv2 storage-partitioned-join source (e.g. Iceberg) — see SCALE.md. The cosine is materialized ONCE via
     withColumn before the threshold filter (Filter/Project CSE boundary —
     same fix as embedding_neardup_pairs, SCALE.md). The assignment UDF is
     deliberately NOT persisted even though the self-join evaluates it once
