@@ -594,6 +594,59 @@ def _semdedup_drop_pairs(cells: DataFrame, threshold: float,
     )
 
 
+def _assigned_with_ord(assigned: DataFrame, order: str) -> DataFrame:
+    """Normalize a PRE-ASSIGNED (vec_id, embedding, cell[, cent_sim])
+    table into the (vec_id, embedding, cell, _ord) shape the drop-pair
+    kernel consumes."""
+    _check_order(order)
+    cols = set(assigned.columns)
+    need = {"vec_id", "embedding", "cell"}
+    if not need <= cols:
+        raise ValueError(
+            f"assigned table needs columns {sorted(need)}; has "
+            f"{sorted(cols)}")
+    base = assigned.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "cell",
+        *(["cent_sim"] if order == "centroid" else []))
+    if order == "centroid":
+        if "cent_sim" not in cols:
+            raise ValueError(
+                "order='centroid' over a pre-assigned table needs a "
+                "cent_sim column — write it with ivf_cell_sim_udf")
+        return base.withColumnRenamed("cent_sim", "_ord")
+    return base.withColumn("_ord", F.col("vec_id"))
+
+
+def semantic_dedup_pairs_from_assigned(assigned: DataFrame,
+                                       threshold: float = 0.9,
+                                       order: str = "vec_id") -> DataFrame:
+    """`semantic_dedup_pairs` over a table whose cell assignment ALREADY
+    ran at write time — the deployment shape: assign once (the same
+    centroids serve the IVF ANN index), persist as a
+    `bucketBy(cell).saveAsTable(...)` (or Iceberg) table, and every dedup
+    run skips the assignment matmul entirely. Over a hive-bucketed source
+    the scan reports HashPartitioning(cell), so the within-cell pair join
+    plans with NO shuffle Exchange at all — plan-asserted in
+    tests/test_semantic_dedup.py (a plain partitionBy-parquet read gives
+    pruning but still exchanges; see SCALE.md)."""
+    return _semdedup_drop_pairs(
+        _assigned_with_ord(assigned, order), threshold, order)
+
+
+def semantic_dedup_from_assigned(assigned: DataFrame,
+                                 threshold: float = 0.9,
+                                 order: str = "vec_id") -> DataFrame:
+    """`semantic_dedup` survivors over a pre-assigned table — see
+    semantic_dedup_pairs_from_assigned for when and why. Value-identical
+    to semantic_dedup with the same centroids (parity-tested)."""
+    cells = _assigned_with_ord(assigned, order)
+    dropped = (_semdedup_drop_pairs(cells, threshold, order)
+               .select(F.col("drop_id").alias("vec_id")).distinct())
+    return cells.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")
+
+
 def semantic_dedup(emb: DataFrame, threshold: float = 0.9,
                    n_cells: int = IVF_CELLS,
                    centroids: np.ndarray | None = None,

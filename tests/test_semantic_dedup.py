@@ -248,3 +248,61 @@ def test_zero_embedding_never_drops_or_is_dropped(spark):
     # same centroids, zero vector planted ahead of everything in its cell
     # -> no other survivor changes (it never drops anyone)
     assert survivors - {-1} == plain
+
+
+def test_semdedup_from_assigned_bucketed_no_shuffle(spark):
+    """The deployment shape: cells assigned once at write time into a
+    bucketBy(cell) table. Two properties, both load-bearing: (1) the
+    within-cell pair join over the bucketed scan plans with ZERO shuffle
+    Exchange (the scan reports HashPartitioning — the thing a plain
+    partitionBy-parquet read cannot do, see SCALE.md), and (2) survivors
+    are value-identical to the self-assigning semantic_dedup with the
+    same centroids."""
+    import pyspark.sql.functions as F
+
+    from glm_ocr_spark.operators.similarity import (
+        fixed_centroids,
+        ivf_cell_udf,
+        semantic_dedup,
+        semantic_dedup_from_assigned,
+        semantic_dedup_pairs_from_assigned,
+    )
+
+    emb = _spark_emb(spark, SF1)
+    cents = fixed_centroids(emb, 16)
+    cells = emb.withColumn("cell", ivf_cell_udf(cents)(F.col("embedding")))
+    table = "semdedup_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (cells.write.mode("overwrite").bucketBy(8, "cell").sortBy("cell")
+     .saveAsTable(table))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the plan assert exercises the shuffle-join
+        # path a big-corpus run would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assigned = spark.table(table)
+        pairs = semantic_dedup_pairs_from_assigned(assigned, threshold=0.4)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        got = {(r["vec_id"], r["cell"]) for r in
+               semantic_dedup_from_assigned(assigned, threshold=0.4)
+               .collect()}
+        want = {(r["vec_id"], r["cell"]) for r in
+                semantic_dedup(emb, threshold=0.4, centroids=cents)
+                .collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE {table}")
+
+
+def test_semdedup_from_assigned_validates_input(spark):
+    from glm_ocr_spark.operators.similarity import (
+        semantic_dedup_from_assigned,
+    )
+
+    emb = _spark_emb(spark, SF1)  # no cell column
+    with pytest.raises(ValueError, match="needs columns"):
+        semantic_dedup_from_assigned(emb)
+    with pytest.raises(ValueError, match="unknown order"):
+        semantic_dedup_from_assigned(emb, order="nope")
