@@ -306,3 +306,75 @@ def test_semdedup_from_assigned_validates_input(spark):
         semantic_dedup_from_assigned(emb)
     with pytest.raises(ValueError, match="unknown order"):
         semantic_dedup_from_assigned(emb, order="nope")
+
+
+from hypothesis import HealthCheck, assume, given, settings, strategies as st
+
+
+@st.composite
+def _random_corpus(draw):
+    """Small random embedding set + parameters, with the threshold forced
+    away from every realizable cosine so exact cross-engine equality is
+    sound by construction (the margin discipline of
+    _assert_engine_margins, generated rather than asserted)."""
+    n = draw(st.integers(6, 24))
+    dim = draw(st.integers(3, 8))
+    n_cells = draw(st.integers(2, 4))
+    order = draw(st.sampled_from(["vec_id", "centroid"]))
+    rng = np.random.default_rng(draw(st.integers(0, 2**32 - 1)))
+    emb = rng.normal(size=(n, dim))
+    # centroids from the data (fixed-centroid style) keep everything
+    # deterministic and engine-reproducible
+    cents = emb[:n_cells].copy()
+    xn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    sims = xn @ cn.T
+    top2 = np.sort(sims, axis=1)[:, -2:]
+    # near-tied argmax would make exact parity unsound: regenerate
+    assume(np.min(top2[:, 1] - top2[:, 0]) >= 1e-6)
+    cells = np.argmax(sims, axis=1)
+    cos_vals = []
+    for c in np.unique(cells):
+        m = np.where(cells == c)[0]
+        pair = xn[m] @ xn[m].T
+        iu = np.triu_indices(len(m), k=1)
+        cos_vals.extend(pair[iu].tolist())
+    if not cos_vals:
+        threshold = 0.5
+    else:
+        vals = sorted(cos_vals)
+        # midpoint between two adjacent realized cosines (or beyond the
+        # extremes) — every decision has a wide margin by construction
+        i = draw(st.integers(0, len(vals)))
+        lo = vals[i - 1] if i > 0 else vals[0] - 0.2
+        hi = vals[i] if i < len(vals) else vals[-1] + 0.2
+        assume(hi - lo >= 1e-6)
+        threshold = (lo + hi) / 2.0
+    return emb, cents, threshold, order
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(_random_corpus())
+def test_fuzz_semdedup_matches_numpy(spark, case):
+    """Randomized Spark-vs-NumPy parity over corpora the fixed testdata
+    never exercises (tiny cells, empty cells, thresholds straddling every
+    realized cosine, both orderings)."""
+    from pyspark.sql import types as T
+
+    from glm_ocr_spark.operators.similarity import semantic_dedup
+
+    emb, cents, threshold, order = case
+    ids = np.arange(len(emb))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+    sdf = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in zip(ids, emb)],
+        schema)
+    got = {(r["vec_id"], r["cell"]) for r in semantic_dedup(
+        sdf, threshold=threshold, centroids=cents, order=order).collect()}
+    cells, dropped = _np_semdedup(ids, emb, cents, threshold, order=order)
+    want = {(i, cells[i]) for i in cells if i not in dropped}
+    assert got == want, (threshold, order)
