@@ -755,7 +755,43 @@ def write_bench_md(result: dict) -> None:
         ]
         return out
 
-    for _builder in (_sf1_section, _weak_section, _stream_section,
+    def _semdedup_section():
+        sd = _load("BENCH_semdedup.json")
+        if not sd:
+            return []
+        arms = sd["arms"]
+        out = [
+            "",
+            "## SemDeDup data-scaling: 4x vectors WITH 4x cells "
+            "(tools/bench_semdedup.py)",
+            "",
+            "The operator-level measurement of the SemDeDup linear-"
+            "scaling claim: grow n_cells with the corpus and per-vector "
+            "cost stays flat (global near-dup would be quadratic). Fixed "
+            "local[16], deterministic synthetic normals (dim 64), fresh "
+            f"JVM per draw, {sd.get('rounds', 1)} strictly-interleaved "
+            "rounds per arm, best cold kept (all draws listed).",
+            "",
+            "| arm | cells | per-cell mean/max | pair fraction | cold "
+            "draws (s) | vecs/s |",
+            "| --- | --- | --- | --- | --- | --- |",
+        ]
+        for key, a in arms.items():
+            out.append(
+                f"| {key} | {a['cells']} | {a['mean_cell']}/"
+                f"{a['max_cell']} | {a['pair_fraction']} | "
+                f"{', '.join(str(x) for x in a['draws_cold_sec'])} | "
+                f"{a['vecs_per_sec']} |")
+        out += [
+            "",
+            f"Per-vector cost ratio at 4x data = "
+            f"**{sd['per_vector_cost_ratio_4x']}** (flat = 1.0; the "
+            "global-quadratic strawman would read ~4.0).",
+        ]
+        return out
+
+    for _builder in (_sf1_section, _weak_section, _semdedup_section,
+                     _stream_section,
                      _adj_section, _ab_section, _ab_minhash_section,
                      _ab_strategy_section):
         lines += _aux_section(_builder)
