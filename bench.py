@@ -772,22 +772,34 @@ def write_bench_md(result: dict) -> None:
             f"JVM per draw, {sd.get('rounds', 1)} strictly-interleaved "
             "rounds per arm, best cold kept (all draws listed).",
             "",
-            "| arm | cells | per-cell mean/max | pair fraction | cold "
-            "draws (s) | vecs/s |",
-            "| --- | --- | --- | --- | --- | --- |",
+            "| arm | strategy | cells | per-cell mean/max | pair "
+            "fraction | cold draws (s) | vecs/s |",
+            "| --- | --- | --- | --- | --- | --- | --- |",
         ]
         for key, a in arms.items():
             out.append(
-                f"| {key} | {a['cells']} | {a['mean_cell']}/"
-                f"{a['max_cell']} | {a['pair_fraction']} | "
+                f"| {key} | {a.get('strategy', 'matmul')} | {a['cells']} "
+                f"| {a['mean_cell']}/{a['max_cell']} | "
+                f"{a['pair_fraction']} | "
                 f"{', '.join(str(x) for x in a['draws_cold_sec'])} | "
                 f"{a['vecs_per_sec']} |")
         out += [
             "",
-            f"Per-vector cost ratio at 4x data = "
+            f"Per-vector cost ratio at 4x data (matmul strategy) = "
             f"**{sd['per_vector_cost_ratio_4x']}** (flat = 1.0; the "
             "global-quadratic strawman would read ~4.0).",
         ]
+        sr = sd.get("matmul_over_join_sec")
+        if sr:
+            out += [
+                "",
+                f"Strategy adjudication (matmul/join wall ratio): {sr} — "
+                "the join strategy materializes two 64-double arrays per "
+                "candidate pair through the SMJ (~1 KB x n_c^2 rows), "
+                "while matmul moves each row once and runs the quadratic "
+                "part as chunked per-cell BLAS inside applyInPandas; the "
+                "measured winner is the operator default.",
+            ]
         return out
 
     for _builder in (_sf1_section, _weak_section, _semdedup_section,

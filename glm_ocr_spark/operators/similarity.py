@@ -491,7 +491,8 @@ def ivf_cell_sim_udf(centroids: np.ndarray):
 def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.9,
                          n_cells: int = IVF_CELLS,
                          centroids: np.ndarray | None = None,
-                         order: str = "vec_id") -> DataFrame:
+                         order: str = "vec_id",
+                         strategy: str = "matmul") -> DataFrame:
     """(drop_id, keep_id, cell, cos_sim) for every within-cell pair at
     cosine >= threshold where keep_id precedes drop_id in the dedup order.
 
@@ -525,10 +526,11 @@ def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.9,
     the recompute (the minhash persist lesson applies only to dataflows
     whose recompute is a multi-pass UDF explosion)."""
     _check_order(order)
+    _check_strategy(strategy)
     if centroids is None:
         centroids = train_ivf_centroids(emb, n_cells)
     cells = _semdedup_assign(emb, centroids, order)
-    return _semdedup_drop_pairs(cells, threshold, order)
+    return _semdedup_drop_pairs(cells, threshold, order, strategy)
 
 
 def _check_order(order: str) -> None:
@@ -560,8 +562,83 @@ def _semdedup_assign(emb: DataFrame, centroids: np.ndarray,
     raise AssertionError("unreachable")
 
 
+def _check_strategy(strategy: str) -> None:
+    if strategy not in ("matmul", "join"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+
 def _semdedup_drop_pairs(cells: DataFrame, threshold: float,
-                         order: str) -> DataFrame:
+                         order: str, strategy: str = "matmul") -> DataFrame:
+    """Dispatch the within-cell pair kernel. Both strategies emit the
+    same (drop_id, keep_id, cell, cos_sim) rows — equivalence-tested:
+
+    "matmul" (default — the measured winner, see BENCH.md): group rows by
+      cell (ONE shuffle of the corpus rows, no pair materialization) and
+      compute the pair cosines as chunked NumPy matmuls per cell inside
+      applyInPandas. The join strategy materializes two 64-double arrays
+      per candidate pair (~1 KB x O(n_c^2) rows through the join); this
+      one moves each row once and does the quadratic part as BLAS.
+      Memory: one cell's vectors must fit an Arrow group (the bounded-
+      cell premise of SemDeDup); the gram matrix is chunked to
+      2048 x n_c so a hot cell cannot allocate n_c^2 doubles at once.
+    "join": pure-JVM self-join on cell + per-pair aggregate-fold cosine —
+      no Python in the pair path, but pays pair materialization; kept
+      selectable as the no-Arrow fallback and as the A/B reference.
+    """
+    _check_strategy(strategy)
+    if strategy == "matmul":
+        return _semdedup_drop_pairs_matmul(cells, threshold)
+    return _semdedup_drop_pairs_join(cells, threshold, order)
+
+
+def _semdedup_drop_pairs_matmul(cells: DataFrame,
+                                threshold: float) -> DataFrame:
+    """applyInPandas per cell: sort by (_ord, vec_id) — the same strict
+    total order as the join strategy's precedes predicate — then emit
+    (drop, keep) for every pair where the keep's sort index precedes the
+    drop's and cosine >= threshold. Zero vectors are masked explicitly
+    (never drop, never dropped), mirroring the join strategy's guard."""
+    import pandas as pd  # local: similarity.py is importable without Arrow
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ord", "vec_id"])
+        ids = pdf["vec_id"].to_numpy()
+        cellv = pdf["cell"].to_numpy()
+        x = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["embedding"]])
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        nz = norms[:, 0] > 0
+        xn = x / np.where(norms == 0, 1.0, norms)
+        n = len(ids)
+        out = []
+        chunk = 2048
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            g = xn[s:e] @ xn.T  # (chunk, n): rows = drop cands, cols = keeps
+            r, c = np.nonzero(g >= threshold)
+            gi = r + s
+            m = (c < gi) & nz[gi] & nz[c]
+            if not m.any():
+                continue
+            out.append(pd.DataFrame({
+                "drop_id": ids[gi[m]],
+                "keep_id": ids[c[m]],
+                "cell": cellv[gi[m]],
+                "cos_sim": np.round(g[r[m], c[m]], 6)}))
+        if not out:
+            return pd.DataFrame({
+                "drop_id": pd.Series([], dtype="int64"),
+                "keep_id": pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int32"),
+                "cos_sim": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    return cells.groupBy("cell").applyInPandas(
+        per_cell, "drop_id long, keep_id long, cell int, cos_sim double")
+
+
+def _semdedup_drop_pairs_join(cells: DataFrame, threshold: float,
+                              order: str) -> DataFrame:
     k = cells.alias("k")
     d = cells.alias("d")
     precedes = F.col("k._ord") < F.col("d._ord")
@@ -621,7 +698,9 @@ def _assigned_with_ord(assigned: DataFrame, order: str) -> DataFrame:
 
 def semantic_dedup_pairs_from_assigned(assigned: DataFrame,
                                        threshold: float = 0.9,
-                                       order: str = "vec_id") -> DataFrame:
+                                       order: str = "vec_id",
+                                       strategy: str = "matmul"
+                                       ) -> DataFrame:
     """`semantic_dedup_pairs` over a table whose cell assignment ALREADY
     ran at write time — the deployment shape: assign once (the same
     centroids serve the IVF ANN index), persist as a
@@ -631,18 +710,21 @@ def semantic_dedup_pairs_from_assigned(assigned: DataFrame,
     plans with NO shuffle Exchange at all — plan-asserted in
     tests/test_semantic_dedup.py (a plain partitionBy-parquet read gives
     pruning but still exchanges; see SCALE.md)."""
+    _check_strategy(strategy)
     return _semdedup_drop_pairs(
-        _assigned_with_ord(assigned, order), threshold, order)
+        _assigned_with_ord(assigned, order), threshold, order, strategy)
 
 
 def semantic_dedup_from_assigned(assigned: DataFrame,
                                  threshold: float = 0.9,
-                                 order: str = "vec_id") -> DataFrame:
+                                 order: str = "vec_id",
+                                 strategy: str = "matmul") -> DataFrame:
     """`semantic_dedup` survivors over a pre-assigned table — see
     semantic_dedup_pairs_from_assigned for when and why. Value-identical
     to semantic_dedup with the same centroids (parity-tested)."""
+    _check_strategy(strategy)
     cells = _assigned_with_ord(assigned, order)
-    dropped = (_semdedup_drop_pairs(cells, threshold, order)
+    dropped = (_semdedup_drop_pairs(cells, threshold, order, strategy)
                .select(F.col("drop_id").alias("vec_id")).distinct())
     return cells.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")
 
@@ -650,7 +732,8 @@ def semantic_dedup_from_assigned(assigned: DataFrame,
 def semantic_dedup(emb: DataFrame, threshold: float = 0.9,
                    n_cells: int = IVF_CELLS,
                    centroids: np.ndarray | None = None,
-                   order: str = "vec_id") -> DataFrame:
+                   order: str = "vec_id",
+                   strategy: str = "matmul") -> DataFrame:
     """SemDeDup survivors: (vec_id, cell) for every embedding NOT dropped
     by `semantic_dedup_pairs` — one left-anti join against the distinct
     drop set (ids only on the wire). See semantic_dedup_pairs for the
@@ -664,9 +747,10 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.9,
     pass over a column scan; callers that persist `emb` themselves get
     the scan amortized across all three."""
     _check_order(order)
+    _check_strategy(strategy)
     if centroids is None:
         centroids = train_ivf_centroids(emb, n_cells)
     cells = _semdedup_assign(emb, centroids, order)
-    dropped = (_semdedup_drop_pairs(cells, threshold, order)
+    dropped = (_semdedup_drop_pairs(cells, threshold, order, strategy)
                .select(F.col("drop_id").alias("vec_id")).distinct())
     return cells.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")

@@ -88,12 +88,14 @@ def test_semantic_dedup_matches_numpy_oracle_trained_centroids(spark):
     sdf = _spark_emb(spark, SF2)
     cents = train_ivf_centroids(sdf, n_cells=8)
     _assert_engine_margins(emb, cents, threshold=0.4)
-    got = {(r["vec_id"], r["cell"])
-           for r in semantic_dedup(sdf, threshold=0.4, n_cells=8,
-                                   centroids=cents).collect()}
     cells, dropped = _np_semdedup(ids, emb, cents, 0.4)
     want = {(i, cells[i]) for i in cells if i not in dropped}
-    assert got == want
+    for strategy in ("matmul", "join"):
+        got = {(r["vec_id"], r["cell"])
+               for r in semantic_dedup(sdf, threshold=0.4, n_cells=8,
+                                       centroids=cents,
+                                       strategy=strategy).collect()}
+        assert got == want, strategy
     # the threshold must actually drop something on the raw corpus, or this
     # test proves only the trivial identity (0.4: 23 in-cell drops at
     # sf0.01 with 8 trained cells; no natural in-cell pair reaches 0.5)
@@ -139,6 +141,11 @@ def test_semantic_dedup_pairs_expose_drop_evidence(spark):
     assert pairs
     assert all(p["keep_id"] < p["drop_id"] and p["cos_sim"] >= 0.4
                for p in pairs)
+    join_pairs = semantic_dedup_pairs(sdf, threshold=0.4, centroids=cents,
+                                      strategy="join").collect()
+    as_set = lambda rows: {(p["drop_id"], p["keep_id"], p["cell"],
+                            p["cos_sim"]) for p in rows}
+    assert as_set(pairs) == as_set(join_pairs)  # strategies value-identical
     survivors = {r["vec_id"] for r in semantic_dedup(
         sdf, threshold=0.4, centroids=cents).collect()}
     assert {p["drop_id"] for p in pairs}.isdisjoint(survivors)
@@ -215,6 +222,8 @@ def test_semantic_dedup_rejects_unknown_order(spark):
         semantic_dedup(_spark_emb(spark, SF1), order="nope")
     with pytest.raises(ValueError, match="unknown order"):
         semantic_dedup_pairs(_spark_emb(spark, SF1), order="nope")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        semantic_dedup(_spark_emb(spark, SF1), strategy="nope")
 
 
 def test_zero_embedding_never_drops_or_is_dropped(spark):
@@ -240,14 +249,16 @@ def test_zero_embedding_never_drops_or_is_dropped(spark):
         F.transform("embedding", lambda x: x * F.lit(0.0)).alias("embedding"),
         F.lit(0).alias("label"))
     aug = base.unionByName(zero)
-    survivors = {r["vec_id"] for r in semantic_dedup(
-        aug, threshold=0.4, centroids=cents).collect()}
-    assert -1 in survivors  # never dropped
     plain = {r["vec_id"] for r in semantic_dedup(
         base, threshold=0.4, centroids=cents).collect()}
-    # same centroids, zero vector planted ahead of everything in its cell
-    # -> no other survivor changes (it never drops anyone)
-    assert survivors - {-1} == plain
+    for strategy in ("matmul", "join"):
+        survivors = {r["vec_id"] for r in semantic_dedup(
+            aug, threshold=0.4, centroids=cents,
+            strategy=strategy).collect()}
+        assert -1 in survivors, strategy  # never dropped
+        # same centroids, zero vector planted ahead of everything in its
+        # cell -> no other survivor changes (it never drops anyone)
+        assert survivors - {-1} == plain, strategy
 
 
 def test_semdedup_from_assigned_bucketed_no_shuffle(spark):
@@ -281,9 +292,14 @@ def test_semdedup_from_assigned_bucketed_no_shuffle(spark):
         # path a big-corpus run would take
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         assigned = spark.table(table)
-        pairs = semantic_dedup_pairs_from_assigned(assigned, threshold=0.4)
-        plan = pairs._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, plan[:2000]
+        for strategy in ("matmul", "join"):
+            pairs = semantic_dedup_pairs_from_assigned(
+                assigned, threshold=0.4, strategy=strategy)
+            plan = pairs._jdf.queryExecution().executedPlan().toString()
+            # join: the bucketed scan reports HashPartitioning so the SMJ
+            # needs no shuffle; matmul: the same distribution satisfies
+            # the groupBy -> FlatMapGroupsInPandas clustering requirement
+            assert "Exchange" not in plan, (strategy, plan[:2000])
         got = {(r["vec_id"], r["cell"]) for r in
                semantic_dedup_from_assigned(assigned, threshold=0.4)
                .collect()}
@@ -321,6 +337,7 @@ def _random_corpus(draw):
     dim = draw(st.integers(3, 8))
     n_cells = draw(st.integers(2, 4))
     order = draw(st.sampled_from(["vec_id", "centroid"]))
+    strategy = draw(st.sampled_from(["matmul", "join"]))
     rng = np.random.default_rng(draw(st.integers(0, 2**32 - 1)))
     emb = rng.normal(size=(n, dim))
     # centroids from the data (fixed-centroid style) keep everything
@@ -350,7 +367,7 @@ def _random_corpus(draw):
         hi = vals[i] if i < len(vals) else vals[-1] + 0.2
         assume(hi - lo >= 1e-6)
         threshold = (lo + hi) / 2.0
-    return emb, cents, threshold, order
+    return emb, cents, threshold, order, strategy
 
 
 @settings(max_examples=8, deadline=None,
@@ -365,7 +382,7 @@ def test_fuzz_semdedup_matches_numpy(spark, case):
 
     from glm_ocr_spark.operators.similarity import semantic_dedup
 
-    emb, cents, threshold, order = case
+    emb, cents, threshold, order, strategy = case
     ids = np.arange(len(emb))
     schema = T.StructType([
         T.StructField("vec_id", T.LongType()),
@@ -374,7 +391,8 @@ def test_fuzz_semdedup_matches_numpy(spark, case):
         [(int(i), [float(v) for v in row]) for i, row in zip(ids, emb)],
         schema)
     got = {(r["vec_id"], r["cell"]) for r in semantic_dedup(
-        sdf, threshold=threshold, centroids=cents, order=order).collect()}
+        sdf, threshold=threshold, centroids=cents, order=order,
+        strategy=strategy).collect()}
     cells, dropped = _np_semdedup(ids, emb, cents, threshold, order=order)
     want = {(i, cells[i]) for i in cells if i not in dropped}
-    assert got == want, (threshold, order)
+    assert got == want, (threshold, order, strategy)
