@@ -37,7 +37,7 @@ from glm_ocr_spark.kernel import geometry as geo
 from glm_ocr_spark.kernel import geometry_py as gpy
 from glm_ocr_spark.kernel.formatter import format_page, serialize_page
 from glm_ocr_spark.kernel.recognize import recognize
-from glm_ocr_spark.kernel.segment import segment
+from glm_ocr_spark.kernel.segment import segment, segment_rows
 
 _IMAGE_CLS_ID = LABEL2ID["image"]
 id2label = {v: k for k, v in LABEL2ID.items()}
@@ -133,32 +133,52 @@ def extract_turn(payload: str | None, *, segmenter=None,
     if not payload:
         return dict(_EMPTY)
 
-    page_w, page_h, blocks = (segmenter or segment)(payload)
-    if not blocks:
-        return dict(_EMPTY)
+    fast = segment_rows(payload) if segmenter is None else None
+    if fast is not None:
+        # ---- tuple fast path: rows/spans straight from the one-pass
+        # parser, F1 threshold filter applied in place ----
+        page_w, page_h, rows, spans, has_order = fast
+        if not rows:
+            return dict(_EMPTY)
+        thr_by_class = config.score_threshold_by_class
+        thr = config.score_threshold
+        if thr_by_class:
+            idx = [i for i, r in enumerate(rows)
+                   if r[1] >= thr_by_class.get(r[0], thr)]
+        else:
+            idx = [i for i, r in enumerate(rows) if r[1] >= thr]
+        if not idx:
+            return dict(_EMPTY)
+        if len(idx) != len(rows):
+            rows = [rows[i] for i in idx]
+            spans = [spans[i] for i in idx]
+    else:
+        page_w, page_h, blocks = (segmenter or segment)(payload)
+        if not blocks:
+            return dict(_EMPTY)
 
-    # ---- F1: score threshold (global + per-class) ----
-    thr_by_class = config.score_threshold_by_class
-    kept = [
-        b for b in blocks
-        if b.score >= thr_by_class.get(b.cls_id, config.score_threshold)
-    ]
-    if not kept:
-        return dict(_EMPTY)
+        # ---- F1: score threshold (global + per-class) ----
+        thr_by_class = config.score_threshold_by_class
+        kept = [
+            b for b in blocks
+            if b.score >= thr_by_class.get(b.cls_id, config.score_threshold)
+        ]
+        if not kept:
+            return dict(_EMPTY)
 
-    has_order = all(b.order is not None for b in kept)
-    spans = [b.span for b in kept]
-
-    if len(kept) <= gpy.SMALL_N:
-        # ---- pure-Python fast path (numpy per-call overhead dominates at
-        # typical page block counts; identical IEEE-double semantics,
-        # equivalence enforced by tests/test_geometry_paths.py) ----
+        has_order = all(b.order is not None for b in kept)
+        spans = [b.span for b in kept]
         rows = [
             (float(b.cls_id), float(b.score), float(b.bbox[0]),
              float(b.bbox[1]), float(b.bbox[2]), float(b.bbox[3]),
              float(b.order if b.order is not None else 0))
             for b in kept
         ]
+
+    if len(rows) <= gpy.SMALL_N:
+        # ---- pure-Python small-n path (numpy per-call overhead dominates
+        # at typical page block counts; identical IEEE-double semantics,
+        # equivalence enforced by tests/test_geometry_paths.py) ----
 
         def _pick(idx: list[int]) -> None:
             nonlocal rows, spans
@@ -185,11 +205,7 @@ def extract_turn(payload: str | None, *, segmenter=None,
         ]
     else:
         # ---- vectorized path for pathological block counts ----
-        arr = np.array(
-            [[b.cls_id, b.score, *b.bbox,
-              (b.order if b.order is not None else 0)] for b in kept],
-            dtype=np.float64,
-        )
+        arr = np.array(rows, dtype=np.float64)
 
         def _take(idx) -> None:
             nonlocal arr, spans

@@ -46,6 +46,12 @@ _ATTR_RE = re.compile(r'(\w+)="([^"]*)"')
 # generic parse, so semantics are unchanged (parity-fuzzed)
 _ATTRS_FAST_RE = re.compile(
     r'label="([^"]*)" score="([^"]*)" bbox="([^"]*)"(?: order="([^"]*)")?')
+# one-pass combined block+attrs+content regex for the same canonical layout:
+# segment_rows uses it when it provably consumes every '<block' opener in
+# the payload (count check), else falls back to the generic two-pass parse
+_BLOCK_FAST_RE = re.compile(
+    r'<block label="([^"]*)" score="([^"]*)" bbox="([^"]*)"'
+    r'(?: order="([^"]*)")?>(.*?)</block>', re.DOTALL)
 
 # plain-DOM tags -> 25-class labels
 _TAG_LABEL = {
@@ -182,7 +188,17 @@ def segment(payload: str) -> tuple[float, float, list[Block]]:
         return page_w, page_h, blocks
 
     # Plain-DOM form: alternate tagged elements and untagged paragraph runs.
-    blocks = []
+    blocks = [
+        Block(cls_id=c, label=lab, score=s, bbox=b, order=o, span=sp)
+        for c, lab, s, b, o, sp in _plain_records(payload)
+    ]
+    return page_w, page_h, blocks
+
+
+def _plain_records(payload: str) -> list[tuple]:
+    """Plain-DOM block records (cls_id, label, score, bbox, order, span) —
+    the single implementation behind segment()'s plain branch and
+    segment_rows()'s tuple fast path."""
     pos = 0
     pieces: list[tuple[str | None, int, int]] = []  # (tag, start, end)
     for m in _DOM_RE.finditer(payload):
@@ -197,8 +213,7 @@ def segment(payload: str) -> tuple[float, float, list[Block]]:
         pieces.append((None, para_start, para_end))
 
     n = len(pieces)
-    if n == 0:
-        return page_w, page_h, []
+    records = []
     for k, (tag, start, end) in enumerate(pieces):
         fragment = payload[start:end]
         visible = _TAG_STRIP_RE.sub("", fragment)
@@ -206,12 +221,71 @@ def segment(payload: str) -> tuple[float, float, list[Block]]:
         score = plain_block_score(fragment, visible)
         y1 = (k * 1000.0) / n
         y2 = y1 + max(1.0, 1000.0 / n - 5.0)
-        blocks.append(Block(
-            cls_id=LABEL2ID[label], label=label, score=score,
-            bbox=(50.0, y1, 950.0, min(y2, 1000.0)), order=k + 1,
-            span=(start, end),
-        ))
-    return page_w, page_h, blocks
+        records.append((LABEL2ID[label], label, score,
+                        (50.0, y1, 950.0, min(y2, 1000.0)), k + 1,
+                        (start, end)))
+    return records
+
+
+def segment_rows(payload: str):
+    """One-pass tuple segmentation for extract_turn's default (no custom
+    segmenter) path: returns (page_w, page_h, rows, spans, has_order) with
+    rows = [(cls_id, score, x1, y1, x2, y2, order), ...] and spans parallel,
+    or None when the payload needs the generic segment() parse.
+
+    Semantics identical to segment(): the combined regex is only trusted
+    when it provably consumed every '<block' opener (count check) and no
+    attribute value crossed a '>' (which _BLOCK_RE's [^>]*? attrs would
+    have carved differently). Equivalence is enforced by the oracle gate
+    plus tests/test_fuzz_kernel_vs_oracle.py."""
+    n_open = payload.count("<block")
+    if n_open:
+        ms = _BLOCK_FAST_RE.finditer(payload)
+        l2i = LABEL2ID
+        text_id = l2i["text"]
+        page_w, page_h = parse_page_size(payload)
+        rows: list[tuple] = []
+        spans: list[tuple[int, int]] = []
+        missing = False
+        n_fast = 0
+        for m in ms:
+            n_fast += 1
+            label, score_s, bbox_s, order_s = m.group(1, 2, 3, 4)
+            if ">" in label or ">" in score_s or ">" in bbox_s or (
+                    order_s is not None and ">" in order_s):
+                return None  # attr crossed the open tag's '>': generic parse
+            try:
+                score = float(score_s)
+            except ValueError:  # malformed annotation: trust-nothing default
+                score = 1.0
+            try:
+                x1, y1, x2, y2 = (float(v) for v in bbox_s.split(","))
+            except ValueError:
+                x1, y1, x2, y2 = 0.0, 0.0, page_w, page_h
+            if order_s is None:
+                missing = True
+                order = 0
+            else:
+                try:
+                    order = int(order_s)
+                except ValueError:
+                    missing = True
+                    order = 0
+            rows.append((l2i.get(label, text_id), score, x1, y1, x2, y2,
+                         order))
+            spans.append(m.span(5))
+        if n_fast != n_open:
+            return None  # non-canonical layout (or '<blockquote'): generic
+        return page_w, page_h, rows, spans, not missing
+
+    page_w, page_h = parse_page_size(payload)
+    rows = []
+    spans = []
+    for cls_id, _label, score, bbox, order, span in _plain_records(payload):
+        rows.append((cls_id, score, bbox[0], bbox[1], bbox[2], bbox[3],
+                     order))
+        spans.append(span)
+    return page_w, page_h, rows, spans, True
 
 
 _PARA_RE = re.compile(r"[^\n](?:.*[^\s])?", re.DOTALL)
