@@ -35,12 +35,29 @@ from glm_ocr_spark.config import (
 )
 from glm_ocr_spark.kernel import geometry as geo
 from glm_ocr_spark.kernel import geometry_py as gpy
-from glm_ocr_spark.kernel.formatter import format_page, serialize_page
+from glm_ocr_spark.kernel.formatter import (
+    format_bullet_points,
+    format_page,
+    merge_formula_numbers,
+    merge_text_blocks,
+    serialize_page,
+)
+from glm_ocr_spark.kernel.textproc import format_content, map_label
 from glm_ocr_spark.kernel.recognize import recognize
 from glm_ocr_spark.kernel.segment import segment, segment_rows
 
 _IMAGE_CLS_ID = LABEL2ID["image"]
 id2label = {v: k for k, v in LABEL2ID.items()}
+
+# dense per-class lookup tables for the fused default path (cls ids are
+# 0..len-1 by construction in config.LABEL2ID)
+_N_CLS = max(LABEL2ID.values()) + 1
+_TASK_BY_CLS = [None] * _N_CLS
+_VIS_BY_CLS = [None] * _N_CLS
+for _lab, _cls in LABEL2ID.items():
+    _TASK_BY_CLS[_cls] = LABEL_TO_TASK.get(_lab)
+    _VIS_BY_CLS[_cls] = map_label(_lab)
+del _lab, _cls
 
 
 class ExtractConfig:
@@ -236,39 +253,94 @@ def extract_turn(payload: str | None, *, segmenter=None,
     if not survivors:
         return dict(_EMPTY)
 
-    # ---- task mapping, abandon drop, bbox 0-1000 normalize, dense index ----
-    regions: list[dict] = []
-    valid_index = 0
-    for cls_id, score, x1, y1, x2, y2, span in survivors:
-        label = id2label[cls_id]
-        task_type = LABEL_TO_TASK.get(label)
-        if task_type is None or task_type == "abandon":
-            continue
-        bbox_norm = [
-            int(x1 / page_w * 1000),
-            int(y1 / page_h * 1000),
-            int(x2 / page_w * 1000),
-            int(y2 / page_h * 1000),
-        ]
-        regions.append({
-            "index": valid_index,
-            "label": label,
-            "score": score,
-            "bbox_2d": bbox_norm,
-            "task_type": task_type,
-            "span": span,
-        })
-        valid_index += 1
-    if not regions:
-        return dict(_EMPTY)
-
-    # ---- recognition (F7: skip -> None) ----
     rec = recognizer or recognize
-    for r in regions:
-        r["content"] = rec(payload, r["span"], r["task_type"])
+    if formatter is None:
+        # ---- fused default path: task mapping + abandon drop + 0-1000
+        # normalize + recognition + the format_page per-region body in ONE
+        # pass, regions built directly in their final shape (no dict
+        # copies, no re-sort — survivors are already in reading order and
+        # indices dense by construction). The three sequence merges are
+        # gated on flags computed during the pass; each gate is exact:
+        # gate False implies the merge function is the identity (empty
+        # serialize matches _EMPTY byte-for-byte, so no special-casing).
+        # Semantics identical to the formatter branch below — enforced by
+        # the oracle gate + tests/test_fuzz_kernel_vs_oracle.py. ----
+        task_by_cls = _TASK_BY_CLS
+        vis_by_cls = _VIS_BY_CLS
+        nat_by_cls = id2label
+        page: list[dict] = []
+        has_fnum = has_hyphen = has_bullet = False
+        vi = 0
+        for cls_id, score, x1, y1, x2, y2, span in survivors:
+            task_type = task_by_cls[cls_id]
+            if task_type is None or task_type == "abandon":
+                continue
+            native = nat_by_cls[cls_id]
+            label = vis_by_cls[cls_id]
+            content = format_content(rec(payload, span, task_type),
+                                     label, native)
+            if content is not None:
+                if content.strip() == "":
+                    continue
+                if label == "text":
+                    if content.endswith("-"):
+                        has_hyphen = True
+                if native == "text" and content.startswith("- "):
+                    has_bullet = True
+            if native == "formula_number":
+                has_fnum = True
+            page.append({
+                "index": vi,
+                "label": label,
+                "native_label": native,
+                "content": content,
+                "bbox_2d": [
+                    int(x1 / page_w * 1000),
+                    int(y1 / page_h * 1000),
+                    int(x2 / page_w * 1000),
+                    int(y2 / page_h * 1000),
+                ],
+                "span": span,
+            })
+            vi += 1
+        if has_fnum:
+            page = merge_formula_numbers(page)
+        if has_hyphen:
+            page = merge_text_blocks(page)
+        if has_bullet and len(page) >= 3:
+            page = format_bullet_points(page)
+    else:
+        # ---- pluggable-formatter path (extension surface) ----
+        regions: list[dict] = []
+        valid_index = 0
+        for cls_id, score, x1, y1, x2, y2, span in survivors:
+            label = id2label[cls_id]
+            task_type = LABEL_TO_TASK.get(label)
+            if task_type is None or task_type == "abandon":
+                continue
+            bbox_norm = [
+                int(x1 / page_w * 1000),
+                int(y1 / page_h * 1000),
+                int(x2 / page_w * 1000),
+                int(y2 / page_h * 1000),
+            ]
+            regions.append({
+                "index": valid_index,
+                "label": label,
+                "score": score,
+                "bbox_2d": bbox_norm,
+                "task_type": task_type,
+                "span": span,
+            })
+            valid_index += 1
+        if not regions:
+            return dict(_EMPTY)
 
-    # ---- formatter ----
-    page = (formatter or format_page)(regions)
+        # ---- recognition (F7: skip -> None) ----
+        for r in regions:
+            r["content"] = rec(payload, r["span"], r["task_type"])
+
+        page = formatter(regions)
     json_str, markdown_str = serialize_page(page)
 
     extracted_text = "\n\n".join(
