@@ -195,31 +195,11 @@ def extract_turn(payload: str | None, *, segmenter=None,
     if len(rows) <= gpy.SMALL_N:
         # ---- pure-Python small-n path (numpy per-call overhead dominates
         # at typical page block counts; identical IEEE-double semantics,
-        # equivalence enforced by tests/test_geometry_paths.py) ----
-
-        def _pick(idx: list[int]) -> None:
-            nonlocal rows, spans
-            rows = [rows[i] for i in idx]
-            spans = [spans[i] for i in idx]
-
-        if config.nms_enabled:
-            _pick(gpy.nms(rows))
-        _pick(gpy.filter_oversized_images(rows, _IMAGE_CLS_ID, page_w, page_h))
-        _pick(gpy.apply_merge_modes(rows, config.merge_modes,
-                                    config.preserve_ids))
-        if not rows:
-            return dict(_EMPTY)
-        if has_order:
-            _pick(sorted(range(len(rows)), key=lambda i: rows[i][6]))
-        else:
-            _pick(gpy.xy_cut_order(rows))
-        rows = gpy.unclip(rows, config.unclip_ratio)
-        rows, kept_idx = gpy.clamp_and_validate(rows, page_w, page_h)
-        spans = [spans[i] for i in kept_idx]
-        survivors = [
-            (int(r[0]), float(r[1]), r[2], r[3], r[4], r[5], spans[i])
-            for i, r in enumerate(rows)
-        ]
+        # equivalence enforced by tests/test_geometry_paths.py): the whole
+        # NMS -> filters -> order -> clamp chain fused in one index-based
+        # pass ----
+        survivors = gpy.survivors_small(rows, spans, config, _IMAGE_CLS_ID,
+                                        page_w, page_h, has_order)
     else:
         # ---- vectorized path for pathological block counts ----
         arr = np.array(rows, dtype=np.float64)

@@ -214,6 +214,162 @@ def clamp_and_validate(rows: list[tuple], page_w: float,
     return out, kept
 
 
+def survivors_small(rows: list[tuple], spans: list, config,
+                    image_cls_id: int, page_w: float, page_h: float,
+                    has_order: bool) -> list[tuple]:
+    """The whole small-n geometry pipeline (NMS -> oversized filter ->
+    merge modes -> reading order -> unclip -> clamp/validate) fused into
+    one index-based pass: stage-identical semantics to calling nms /
+    filter_oversized_images / apply_merge_modes / sort-or-xy_cut / unclip /
+    clamp_and_validate in sequence with list rebuilds between stages
+    (equivalence enforced by tests/test_geometry_paths.py::test_fused),
+    but with a single survivors materialization at the end.
+
+    Returns [(cls_id:int, score, x1, y1, x2, y2, span), ...] with clamped
+    int-truncated float coords, in final reading order.
+    """
+    n = len(rows)
+
+    # ---- NMS (the working order becomes score-desc, as after
+    # _pick(nms(rows))) ----
+    if config.nms_enabled:
+        iou_same = NMS_IOU_SAME
+        iou_diff = NMS_IOU_DIFF
+        order = sorted(range(n), key=lambda i: (-rows[i][1], -i))
+        idx: list[int] = []
+        while order:
+            cur = order[0]
+            idx.append(cur)
+            rest = []
+            cur_row = rows[cur]
+            cc, cx1, cy1, cx2, cy2 = (cur_row[0], cur_row[2], cur_row[3],
+                                      cur_row[4], cur_row[5])
+            ca = (cx2 - cx1 + 1) * (cy2 - cy1 + 1)
+            for i in order[1:]:
+                b = rows[i]
+                ix1 = cx1 if cx1 > b[2] else b[2]
+                iy1 = cy1 if cy1 > b[3] else b[3]
+                ix2 = cx2 if cx2 < b[4] else b[4]
+                iy2 = cy2 if cy2 < b[5] else b[5]
+                iw = ix2 - ix1 + 1
+                ih = iy2 - iy1 + 1
+                inter = iw * ih if iw > 0 and ih > 0 else 0.0
+                den = ca + (b[4] - b[2] + 1) * (b[5] - b[3] + 1) - inter
+                if den != 0 and inter / den < (
+                        iou_same if b[0] == cc else iou_diff):
+                    rest.append(i)
+            order = rest
+    else:
+        idx = list(range(n))
+
+    # ---- oversized-image filter (keeps working order; all-oversized
+    # degenerate case keeps everything, as in filter_oversized_images) ----
+    if len(idx) > 1:
+        thr = (OVERSIZE_AREA_THRESHOLD_LANDSCAPE if page_w > page_h
+               else OVERSIZE_AREA_THRESHOLD_PORTRAIT)
+        limit = thr * page_w * page_h
+        out = []
+        for i in idx:
+            r = rows[i]
+            if r[0] == image_cls_id:
+                x1 = r[2] if r[2] > 0 else 0.0
+                y1 = r[3] if r[3] > 0 else 0.0
+                x2 = r[4] if r[4] < page_w else page_w
+                y2 = r[5] if r[5] < page_h else page_h
+                if (x2 - x1) * (y2 - y1) <= limit:
+                    out.append(i)
+            else:
+                out.append(i)
+        if out:
+            idx = out
+
+    # ---- containment merge modes (positional keep flags over the current
+    # working list, exactly like apply_merge_modes on a materialized list:
+    # the small pass pairs over ALL current members, not just large-pass
+    # survivors) ----
+    m = len(idx)
+    if m:
+        merge_modes = config.merge_modes
+        preserve_ids = config.preserve_ids
+        large = {c for c, md in merge_modes.items() if md == "large"}
+        small = [c for c, md in merge_modes.items() if md == "small"]
+        keep = [True] * m
+        large_ps = [p for p in range(m) if int(rows[idx[p]][0]) in large]
+        ratio = CONTAINMENT_OVERLAP_RATIO
+        for p in range(m):
+            ri = rows[idx[p]]
+            if int(ri[0]) in preserve_ids:
+                continue
+            ax1, ay1, ax2, ay2 = ri[2], ri[3], ri[4], ri[5]
+            area = (ax2 - ax1) * (ay2 - ay1)
+            if area <= 0:
+                continue
+            for q in large_ps:
+                if p == q:
+                    continue
+                rj = rows[idx[q]]
+                iw = ((ax2 if ax2 < rj[4] else rj[4])
+                      - (ax1 if ax1 > rj[2] else rj[2]))
+                if iw <= 0:
+                    continue
+                ih = ((ay2 if ay2 < rj[5] else rj[5])
+                      - (ay1 if ay1 > rj[3] else rj[3]))
+                if ih <= 0:
+                    continue
+                if (iw * ih) / area >= ratio:
+                    keep[p] = False
+                    break
+        for category in small:
+            contained_by_other = [False] * m
+            contains_other = [False] * m
+            for p in range(m):
+                ri = rows[idx[p]]
+                if int(ri[0]) != category or int(ri[0]) in preserve_ids:
+                    continue
+                for q in range(m):
+                    if p == q:
+                        continue
+                    if _contained_in(ri, rows[idx[q]]):
+                        contained_by_other[p] = True
+                        contains_other[q] = True
+            for p in range(m):
+                keep[p] = keep[p] and ((not contains_other[p])
+                                       or contained_by_other[p])
+        idx = [i for p, i in enumerate(idx) if keep[p]]
+
+    if not idx:
+        return []
+
+    # ---- reading order (stable by the working/score order on ties) ----
+    if has_order:
+        idx.sort(key=lambda i: rows[i][6])
+    else:
+        sub = [rows[i] for i in idx]
+        idx = [idx[p] for p in xy_cut_order(sub)]
+
+    # ---- unclip (default no-op) + clamp/validate + survivors ----
+    ratio_cfg = config.unclip_ratio
+    unclipped = ratio_cfg is not None and ratio_cfg != (1.0, 1.0)
+    out_rows: list[tuple] = []
+    for i in idx:
+        r = rows[i]
+        if unclipped:
+            r = unclip([r], ratio_cfg)[0]
+        v = r[2]
+        x1 = 0.0 if v < 0.0 else (page_w if v > page_w else v)
+        v = r[4]
+        x2 = 0.0 if v < 0.0 else (page_w if v > page_w else v)
+        v = r[3]
+        y1 = 0.0 if v < 0.0 else (page_h if v > page_h else v)
+        v = r[5]
+        y2 = 0.0 if v < 0.0 else (page_h if v > page_h else v)
+        if x1 >= x2 or y1 >= y2:
+            continue
+        out_rows.append((int(r[0]), r[1], float(int(x1)), float(int(y1)),
+                         float(int(x2)), float(int(y2)), spans[i]))
+    return out_rows
+
+
 def xy_cut_order(rows: list[tuple]) -> list[int]:
     """Same XY-cut spec as geometry.xy_cut_order, tuple-based."""
     n = len(rows)

@@ -113,3 +113,30 @@ def test_infinite_coords_agree():
     pi, _ = run_python(list(rows))
     ni, _ = run_numpy(list(rows))
     assert pi == ni
+
+
+class _FusedCfg:
+    """Minimal config carrier for survivors_small."""
+    nms_enabled = True
+    merge_modes = LAYOUT_MERGE_BBOXES_MODE
+    preserve_ids = PRESERVE_CLASS_IDS
+    unclip_ratio = (1.0, 1.0)
+
+
+@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("use_order", [True, False])
+def test_fused(seed, use_order):
+    """survivors_small (the fused index-based pipeline) must match the
+    staged nms -> filters -> order -> clamp chain exactly, spans included."""
+    rng = random.Random(seed + 7000)
+    n = rng.randint(1, 30)
+    rows = random_rows(rng, n)
+    spans = [(i * 10, i * 10 + 5) for i in range(n)]
+    pi, pb = run_python(list(rows), use_order=use_order)
+    staged = [
+        (int(rows_i[0]), float(rows_i[1]), b[0], b[1], b[2], b[3], spans[i])
+        for i, rows_i, b in ((i, rows[i], pb[k]) for k, i in enumerate(pi))
+    ]
+    fused = gpy.survivors_small(list(rows), list(spans), _FusedCfg, IMG,
+                                1000.0, 1000.0, use_order)
+    assert fused == staged, (seed, use_order)
