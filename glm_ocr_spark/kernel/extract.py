@@ -67,7 +67,8 @@ class ExtractConfig:
     inside the UDF closure; defaults reproduce GLM-OCR's shipped config."""
 
     __slots__ = ("score_threshold", "score_threshold_by_class", "nms_enabled",
-                 "unclip_ratio", "merge_modes", "preserve_ids")
+                 "unclip_ratio", "merge_modes", "preserve_ids",
+                 "merge_large_ids", "merge_small_ids")
 
     def __init__(self, score_threshold: float = SCORE_THRESHOLD,
                  score_threshold_by_class: dict[int, float] | None = None,
@@ -84,6 +85,12 @@ class ExtractConfig:
         self.merge_modes = (dict(LAYOUT_MERGE_BBOXES_MODE) if merge_modes is None
                             else merge_modes)
         self.preserve_ids = preserve_ids
+        # derived once: geometry_py.survivors_small consumes these instead
+        # of re-deriving the large/small class sets per page
+        self.merge_large_ids = frozenset(
+            c for c, m in self.merge_modes.items() if m == "large")
+        self.merge_small_ids = tuple(
+            c for c, m in self.merge_modes.items() if m == "small")
 
 
 DEFAULT_CONFIG = ExtractConfig()

@@ -235,7 +235,11 @@ def survivors_small(rows: list[tuple], spans: list, config,
     if config.nms_enabled:
         iou_same = NMS_IOU_SAME
         iou_diff = NMS_IOU_DIFF
-        order = sorted(range(n), key=lambda i: (-rows[i][1], -i))
+        # score-desc, later index first on ties: stable reverse sort over
+        # descending indices == sorted(..., key=lambda i: (-score, -i))
+        scores = [r[1] for r in rows]
+        order = sorted(range(n - 1, -1, -1), key=scores.__getitem__,
+                       reverse=True)
         idx: list[int] = []
         while order:
             cur = order[0]
@@ -289,16 +293,24 @@ def survivors_small(rows: list[tuple], spans: list, config,
     # survivors) ----
     m = len(idx)
     if m:
-        merge_modes = config.merge_modes
         preserve_ids = config.preserve_ids
-        large = {c for c, md in merge_modes.items() if md == "large"}
-        small = [c for c, md in merge_modes.items() if md == "small"]
+        # large/small id sets: precomputed on ExtractConfig; derived here
+        # for plain carriers (tests). Membership checks drop the int()
+        # casts — float cls ids hash/compare equal to their int values.
+        large = getattr(config, "merge_large_ids", None)
+        if large is None:
+            large = {c for c, md in config.merge_modes.items()
+                     if md == "large"}
+        small = getattr(config, "merge_small_ids", None)
+        if small is None:
+            small = [c for c, md in config.merge_modes.items()
+                     if md == "small"]
         keep = [True] * m
-        large_ps = [p for p in range(m) if int(rows[idx[p]][0]) in large]
+        large_ps = [p for p in range(m) if rows[idx[p]][0] in large]
         ratio = CONTAINMENT_OVERLAP_RATIO
         for p in range(m):
             ri = rows[idx[p]]
-            if int(ri[0]) in preserve_ids:
+            if ri[0] in preserve_ids:
                 continue
             ax1, ay1, ax2, ay2 = ri[2], ri[3], ri[4], ri[5]
             area = (ax2 - ax1) * (ay2 - ay1)
@@ -324,7 +336,7 @@ def survivors_small(rows: list[tuple], spans: list, config,
             contains_other = [False] * m
             for p in range(m):
                 ri = rows[idx[p]]
-                if int(ri[0]) != category or int(ri[0]) in preserve_ids:
+                if ri[0] != category or ri[0] in preserve_ids:
                     continue
                 for q in range(m):
                     if p == q:

@@ -94,6 +94,8 @@ def link_density(fragment: str, visible: str | None = None) -> float:
                 else visible)
     if total == 0:
         return 0.0
+    if "<a" not in fragment:  # no anchors: identical result, no regex pass
+        return 0.0
     linked = sum(len(_TAG_STRIP_RE.sub("", m.group(1)))
                  for m in _LINK_RE.finditer(fragment))
     return min(1.0, linked / total)
@@ -258,8 +260,14 @@ def segment_rows(payload: str):
                 score = float(score_s)
             except ValueError:  # malformed annotation: trust-nothing default
                 score = 1.0
+            b = bbox_s.split(",")
             try:
-                x1, y1, x2, y2 = (float(v) for v in bbox_s.split(","))
+                if len(b) != 4:
+                    raise ValueError
+                x1 = float(b[0])
+                y1 = float(b[1])
+                x2 = float(b[2])
+                y2 = float(b[3])
             except ValueError:
                 x1, y1, x2, y2 = 0.0, 0.0, page_w, page_h
             if order_s is None:

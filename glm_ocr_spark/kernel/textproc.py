@@ -152,19 +152,24 @@ def format_content(content: object, label: str, native_label: str) -> str | None
             content = "$$\n" + content + "\n$$"
 
     if label == "text":
-        if content.startswith("·") or content.startswith("•") or content.startswith("* "):
+        # first-char guards; branch structure is exact because each
+        # transform's output prefix ('- ', '(', digit/letter) excludes the
+        # later patterns (a '- '/'('-leading string cannot match the dot
+        # enum, a transformed enum cannot re-match the bullet/paren forms)
+        c0 = content[:1]
+        if c0 == "·" or c0 == "•" or (c0 == "*" and content[1:2] == " "):
             content = "- " + content[1:].lstrip()
-
-        m = _PAREN_ENUM_RE.match(content)
-        if m:
-            _, symbol, _, rest = m.groups()
-            content = f"({symbol}) {rest.lstrip()}"
-
-        m = _DOT_ENUM_RE.match(content)
-        if m:
-            symbol, sep, rest = m.groups()
-            sep = ")" if sep == "）" else sep
-            content = f"{symbol}{sep} {rest.lstrip()}"
+        elif c0 == "(" or c0 == "（":
+            m = _PAREN_ENUM_RE.match(content)
+            if m:
+                _, symbol, _, rest = m.groups()
+                content = f"({symbol}) {rest.lstrip()}"
+        elif c0.isalnum():
+            m = _DOT_ENUM_RE.match(content)
+            if m:
+                symbol, sep, rest = m.groups()
+                sep = ")" if sep == "）" else sep
+                content = f"{symbol}{sep} {rest.lstrip()}"
 
         if "\n" in content:
             content = _SINGLE_NEWLINE_RE.sub("\n\n", content)
