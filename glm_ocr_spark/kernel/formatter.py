@@ -206,9 +206,47 @@ def render_page_markdown(page_regions: list[dict], page_idx: int = 0) -> str:
     return "\n\n".join(parts)
 
 
+_json_esc = json.encoder.encode_basestring  # C impl; == dumps(ensure_ascii=False)
+
+
 def serialize_page(page_regions: list[dict]) -> tuple[str, str]:
     """(json_str, markdown_str) for a one-page unit, matching the reference's
-    nesting (list of pages) and ensure_ascii=False (result_formatter.py:208-210)."""
+    nesting (list of pages) and ensure_ascii=False (result_formatter.py:208-210).
+
+    The JSON is rendered directly (same separators/escaping as json.dumps
+    with ensure_ascii=False — the string escaper IS the json module's C
+    escaper) when every field has the expected exact type; any surprise
+    (custom formatter emitting floats, bools, nested values) falls back to
+    json.dumps over the equivalent public dicts, byte-identical for the
+    conforming case by construction."""
+    parts = []
+    for r in page_regions:
+        idx = r["index"]
+        label = r["label"]
+        content = r.get("content")
+        bbox = r.get("bbox_2d")
+        if type(idx) is not int or type(label) is not str:
+            break
+        if content is None:
+            cs = "null"
+        elif type(content) is str:
+            cs = _json_esc(content)
+        else:
+            break
+        if bbox is None:
+            bs = "null"
+        elif (type(bbox) is list and len(bbox) == 4
+              and type(bbox[0]) is int and type(bbox[1]) is int
+              and type(bbox[2]) is int and type(bbox[3]) is int):
+            bs = "[%d, %d, %d, %d]" % (bbox[0], bbox[1], bbox[2], bbox[3])
+        else:
+            break
+        parts.append('{"index": %d, "label": %s, "content": %s, '
+                     '"bbox_2d": %s}' % (idx, _json_esc(label), cs, bs))
+    else:
+        return ("[[" + ", ".join(parts) + "]]",
+                render_page_markdown(page_regions, 0))
+
     public = [
         {
             "index": r["index"],

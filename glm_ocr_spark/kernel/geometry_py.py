@@ -240,29 +240,37 @@ def survivors_small(rows: list[tuple], spans: list, config,
         scores = [r[1] for r in rows]
         order = sorted(range(n - 1, -1, -1), key=scores.__getitem__,
                        reverse=True)
+        # candidate-vs-kept formulation of the same greedy dual-threshold
+        # NMS: a candidate is dropped iff it trips the threshold against
+        # an earlier-KEPT box (boxes dropped earlier never suppress — in
+        # the remaining-set formulation they left the pool the moment a
+        # kept box removed them, so the pair sets tested are identical);
+        # per-box +1 areas hoisted out of the pair loop
+        areas = [(r[4] - r[2] + 1) * (r[5] - r[3] + 1) for r in rows]
         idx: list[int] = []
-        while order:
-            cur = order[0]
-            idx.append(cur)
-            rest = []
-            cur_row = rows[cur]
-            cc, cx1, cy1, cx2, cy2 = (cur_row[0], cur_row[2], cur_row[3],
-                                      cur_row[4], cur_row[5])
-            ca = (cx2 - cx1 + 1) * (cy2 - cy1 + 1)
-            for i in order[1:]:
-                b = rows[i]
-                ix1 = cx1 if cx1 > b[2] else b[2]
-                iy1 = cy1 if cy1 > b[3] else b[3]
-                ix2 = cx2 if cx2 < b[4] else b[4]
-                iy2 = cy2 if cy2 < b[5] else b[5]
+        for c in order:
+            b = rows[c]
+            bc = b[0]
+            bx1 = b[2]
+            by1 = b[3]
+            bx2 = b[4]
+            by2 = b[5]
+            ba = areas[c]
+            for k in idx:
+                a = rows[k]
+                ix1 = a[2] if a[2] > bx1 else bx1
+                iy1 = a[3] if a[3] > by1 else by1
+                ix2 = a[4] if a[4] < bx2 else bx2
+                iy2 = a[5] if a[5] < by2 else by2
                 iw = ix2 - ix1 + 1
                 ih = iy2 - iy1 + 1
                 inter = iw * ih if iw > 0 and ih > 0 else 0.0
-                den = ca + (b[4] - b[2] + 1) * (b[5] - b[3] + 1) - inter
-                if den != 0 and inter / den < (
-                        iou_same if b[0] == cc else iou_diff):
-                    rest.append(i)
-            order = rest
+                den = areas[k] + ba - inter
+                if den == 0 or inter / den >= (
+                        iou_same if bc == a[0] else iou_diff):
+                    break
+            else:
+                idx.append(c)
     else:
         idx = list(range(n))
 
@@ -292,7 +300,7 @@ def survivors_small(rows: list[tuple], spans: list, config,
     # the small pass pairs over ALL current members, not just large-pass
     # survivors) ----
     m = len(idx)
-    if m:
+    if m > 1:  # a single box can neither contain nor be contained
         preserve_ids = config.preserve_ids
         # large/small id sets: precomputed on ExtractConfig; derived here
         # for plain carriers (tests). Membership checks drop the int()
@@ -354,7 +362,8 @@ def survivors_small(rows: list[tuple], spans: list, config,
 
     # ---- reading order (stable by the working/score order on ties) ----
     if has_order:
-        idx.sort(key=lambda i: rows[i][6])
+        ordv = [r[6] for r in rows]
+        idx.sort(key=ordv.__getitem__)
     else:
         sub = [rows[i] for i in idx]
         idx = [idx[p] for p in xy_cut_order(sub)]
