@@ -155,6 +155,60 @@ def _extract_batches(batches, passthrough=(), extractor=None):
         yield pd.DataFrame(out)
 
 
+def _extract_arrow_batches(batches, passthrough=(), extractor=None):
+    """mapInArrow body: same per-turn dataflow as _extract_batches but on
+    raw Arrow record batches — key columns (conv_id, turn_idx, role, any
+    passthrough) are forwarded zero-copy instead of round-tripping through
+    pandas, payloads cross the boundary once (to_pylist), and outputs are
+    built by pyarrow's C++ converters (spans as list<struct> straight from
+    the kernel's (start, end, label) tuples, no per-span dicts)."""
+    import pyarrow as pa
+
+    fn = extractor or extract_turn
+    spans_type = pa.list_(pa.struct([
+        ("start", pa.int32()), ("end", pa.int32()), ("label", pa.string())]))
+    names = ["conv_id", "turn_idx", "role", "extracted_text", "markdown",
+             "json", "spans", "n_blocks", "error", *passthrough]
+    for batch in batches:
+        texts = batch.column(3).to_pylist()
+        tools = batch.column(4).to_pylist()
+        n = batch.num_rows
+        ext = [None] * n
+        md = [None] * n
+        js = [None] * n
+        spans: list = [()] * n
+        nb = [0] * n
+        err = [None] * n
+        for i in range(n):
+            tool = tools[i]
+            if tool is not None and tool != "":
+                js[i] = "[[]]"
+                continue
+            try:
+                r = fn(texts[i])
+            except Exception as e:  # noqa: BLE001 - dead-letter, never fatal
+                js[i] = "[[]]"
+                err[i] = f"{type(e).__name__}: {e}"[:500]
+                continue
+            ext[i] = r["extracted_text"]
+            md[i] = r["markdown"]
+            js[i] = r["json"]
+            spans[i] = r["spans"]
+            nb[i] = r["n_blocks"]
+        arrays = [
+            batch.column(0), batch.column(1), batch.column(2),
+            pa.array(ext, type=pa.string()),
+            pa.array(md, type=pa.string()),
+            pa.array(js, type=pa.string()),
+            pa.array(spans, type=spans_type),
+            pa.array(nb, type=pa.int32()),
+            pa.array(err, type=pa.string()),
+        ]
+        for k in range(len(passthrough)):
+            arrays.append(batch.column(5 + k))
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
 def extract_transcripts(df: DataFrame,
                         passthrough: tuple[str, ...] = (),
                         mode: str = "layout",
@@ -182,10 +236,10 @@ def extract_transcripts(df: DataFrame,
     cols = ["conv_id", "turn_idx", "role", "text", "tool", *passthrough]
 
     def body(batches):
-        yield from _extract_batches(batches, passthrough=passthrough,
-                                    extractor=extractor)
+        yield from _extract_arrow_batches(batches, passthrough=passthrough,
+                                          extractor=extractor)
 
-    return df.select(*cols).mapInPandas(body, schema=schema)
+    return df.select(*cols).mapInArrow(body, schema=schema)
 
 
 def ocr_only_conversation_markdown(extracted: DataFrame) -> DataFrame:
