@@ -410,10 +410,21 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
         bands = dbands if bands is None else bands
         planes_per_band = dplanes if planes_per_band is None else planes_per_band
     cands = neardup_band_candidates(emb, bands, planes_per_band)
-    e1 = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("emb1"))
-    e2 = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("emb2"))
+    # norms precomputed per VECTOR on the (broadcast) embedding sides, not
+    # per candidate pair: the verify previously ran three interpreted
+    # higher-order folds per pair (dot + both norms); now the pair stage
+    # folds only the dot. Bit-identical result — the norm expression, the
+    # product and the division are unchanged, just evaluated once per
+    # vector while building the join relation (guide §2.3 "don't compute
+    # things you throw away"; measured in OPTIMIZATION_r06.md).
+    e1 = emb.select(F.col("vec_id").alias("id1"),
+                    F.col("embedding").alias("emb1"),
+                    _norm(F.col("embedding")).alias("_n1"))
+    e2 = emb.select(F.col("vec_id").alias("id2"),
+                    F.col("embedding").alias("emb2"),
+                    _norm(F.col("embedding")).alias("_n2"))
     sim = _dot(F.col("emb1"), F.col("emb2")) / (
-        _norm(F.col("emb1")) * _norm(F.col("emb2")))
+        F.col("_n1") * F.col("_n2"))
     # materialize the cosine ONCE via withColumn before filtering on it:
     # expression reuse across a Filter and the downstream Project is left
     # to whole-stage codegen's subexpression elimination (a runtime
