@@ -417,17 +417,27 @@ def connected_components(pairs: DataFrame, id1: str = "id1",
     DataFrame joins: round 2 upgrades — a 300-node path converges in ~8
     rounds where plain neighbor-min needed 300 (test-covered).
 
-    Per-round cost: ONE job (the eager localCheckpoint materializes the
-    two joins); the convergence check is a count on the already-
-    checkpointed result — no recompute, no extra join (round 2's check
-    re-joined new labels against old, a second shuffle per round).
+    Per-round cost: ONE job — the localCheckpoint is LAZY and the round's
+    convergence count is the action that materializes it (an eager
+    checkpoint ran its own job first, doubling the per-round job count;
+    round-6 measurement: 2.35 s -> ~1.5 s for the same 477-node graph).
+    Later rounds (and the final return) read the checkpointed blocks —
+    no recompute, no extra join.
     Raises RuntimeError if max_iter exhausts while labels still move —
     silently returning non-converged (wrong) components would make
     dedup_keep_first retain duplicates with no signal (round-2 advice).
     """
-    e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
-    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
-        .distinct().localCheckpoint()
+    # both edge directions from ONE pass over `pairs`: the old
+    # union-of-two-selects planned the (expensive — LSH verify join)
+    # pairs dataflow twice, once per branch; explode emits (a,b) and
+    # (b,a) from the same scan — identical edge multiset, half the work
+    e = pairs.select(
+        F.explode(F.array(
+            F.struct(F.col(id1).alias("a"), F.col(id2).alias("b")),
+            F.struct(F.col(id2).alias("a"), F.col(id1).alias("b")),
+        )).alias("e")
+    ).select("e.a", "e.b")
+    edges = e.distinct().localCheckpoint()
     labels = (edges.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     changed = -1  # sentinel: max_iter <= 0 must still raise cleanly below
@@ -458,7 +468,7 @@ def connected_components(pairs: DataFrame, id1: str = "id1",
                         F.coalesce(F.col("plabel"), F.col("label")))
                 .alias("label"),
             )
-            .localCheckpoint()  # eager: the round's one materializing job
+            .localCheckpoint(eager=False)  # materialized by the count below
         )
         changed = jumped.filter(F.col("label") < F.col("old_label")).count()
         labels = jumped.select("node", "label")
