@@ -559,7 +559,10 @@ def simhash64(text: pd.Series) -> pd.Series:
         for i, w in enumerate(words):
             h = cache.get(w)
             if h is None:
-                h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+                # first 8 digest bytes big-endian == first 16 hex chars as
+                # uint64 (the SQL-computable spec), minus the hex round-trip
+                h = int.from_bytes(
+                    hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
                 cache[w] = h
             hs[i] = h
         # acc[bit] = (#set) - (#unset) = 2*(#set) - n_words

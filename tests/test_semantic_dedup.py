@@ -396,3 +396,83 @@ def test_fuzz_semdedup_matches_numpy(spark, case):
     cells, dropped = _np_semdedup(ids, emb, cents, threshold, order=order)
     want = {(i, cells[i]) for i in cells if i not in dropped}
     assert got == want, (threshold, order, strategy)
+
+
+def test_hot_cell_guard_value_equal_on_pathological_corpus(spark):
+    """Round-5 verdict ask #1 ("done" criterion): a pathological corpus
+    with >= 50% of vectors in ONE cell, run with a cap that forces the
+    hot cell onto the join fallback, must be value-equal to the unguarded
+    matmul kernel. Uses fixed_centroids so cell = vec_id for the first
+    n_cells ids; the planted cluster around centroid 0 puts >50% of the
+    corpus into cell 0."""
+    import pandas as pd
+
+    from glm_ocr_spark.operators.similarity import (
+        fixed_centroids,
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    n_cells, n = 4, 120
+    base = rng.normal(size=(n_cells, 8))
+    rows = []
+    for i in range(n):
+        if i < n_cells:
+            v = base[i]
+        elif i < n * 0.6:      # 60%+ of the corpus lands in cell 0
+            v = base[0] + rng.normal(scale=0.05, size=8)
+        else:
+            v = base[1 + (i % (n_cells - 1))] + rng.normal(scale=0.05,
+                                                           size=8)
+        rows.append((i, [float(x) for x in v]))
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]}))
+    cents = fixed_centroids(sdf, n_cells)
+
+    unguarded = {(r["vec_id"], r["cell"])
+                 for r in semantic_dedup(sdf, threshold=0.9,
+                                         centroids=cents,
+                                         max_cell_rows=None).collect()}
+    # cap 10 << the hot cell's ~70 rows: cell 0 (and any other cell over
+    # 10) must take the join fallback; the result must not move
+    guarded = {(r["vec_id"], r["cell"])
+               for r in semantic_dedup(sdf, threshold=0.9, centroids=cents,
+                                       max_cell_rows=10).collect()}
+    assert guarded == unguarded
+    assert len(unguarded) < n  # the threshold actually dropped something
+
+    pairs_un = {(r["drop_id"], r["keep_id"], r["cell"], r["cos_sim"])
+                for r in semantic_dedup_pairs(
+                    sdf, threshold=0.9, centroids=cents,
+                    max_cell_rows=None).collect()}
+    pairs_g = {(r["drop_id"], r["keep_id"], r["cell"], r["cos_sim"])
+               for r in semantic_dedup_pairs(
+                   sdf, threshold=0.9, centroids=cents,
+                   max_cell_rows=10).collect()}
+    assert pairs_g == pairs_un
+    assert pairs_un  # non-trivial
+
+
+def test_hot_cell_guard_default_on_and_cold_path_unchanged(spark):
+    """The guard defaults ON (SEMDEDUP_MAX_CELL_ROWS); with no hot cell the
+    result equals the unguarded kernel (cold path routes everything to the
+    matmul kernel)."""
+    from glm_ocr_spark.operators.similarity import (
+        SEMDEDUP_MAX_CELL_ROWS,
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    assert SEMDEDUP_MAX_CELL_ROWS == 65536
+    sdf = _spark_emb(spark, SF1)
+    cents = train_ivf_centroids(sdf, n_cells=8)
+    got_default = {(r["vec_id"], r["cell"])
+                   for r in semantic_dedup(sdf, threshold=0.4, n_cells=8,
+                                           centroids=cents).collect()}
+    got_off = {(r["vec_id"], r["cell"])
+               for r in semantic_dedup(sdf, threshold=0.4, n_cells=8,
+                                       centroids=cents,
+                                       max_cell_rows=None).collect()}
+    assert got_default == got_off
