@@ -68,14 +68,25 @@ def main() -> None:
         progresses = q.recentProgress
         return sec, progresses
 
-    # 1) stateless extraction stream
-    stream = read_transcripts_stream(spark, tpath, MAX_FILES_PER_TRIGGER)
-    sec, progs = drain(extract_stream(stream), "extract")
-    n_batches = len([p for p in progs if p["numInputRows"] > 0])
-    out["n_batches"] = n_batches
-    out["batch_rows"] = round(total_rows / max(1, n_batches))
-    out["total_sec"] = round(sec, 2)
-    out["rows_per_sec"] = round(total_rows / sec, 1)
+    # 1) stateless extraction stream — swept over micro-batch sizes to
+    # measure the amortization claim (round-5 verdict ask #2): if the gap
+    # vs the batch headline is per-batch fixed cost (checkpoint commit,
+    # planning, state snapshot), throughput should rise as batches get
+    # bigger and approach the batch path at 1 batch.
+    out["curve"] = {}
+    for mfpt in (MAX_FILES_PER_TRIGGER, 64, 256):
+        stream = read_transcripts_stream(spark, tpath, mfpt)
+        sec, progs = drain(extract_stream(stream), f"extract{mfpt}")
+        n_batches = len([p for p in progs if p["numInputRows"] > 0])
+        point = {
+            "n_batches": n_batches,
+            "batch_rows": round(total_rows / max(1, n_batches)),
+            "total_sec": round(sec, 2),
+            "rows_per_sec": round(total_rows / sec, 1),
+        }
+        out["curve"][str(mfpt)] = point
+        if mfpt == MAX_FILES_PER_TRIGGER:  # headline fields (BENCH.md)
+            out.update(point)
 
     # 2) stateful conversation tracker (applyInPandasWithState)
     stream2 = read_transcripts_stream(spark, tpath, MAX_FILES_PER_TRIGGER)
