@@ -36,6 +36,7 @@ from glm_ocr_spark.config import (
 from glm_ocr_spark.kernel import geometry as geo
 from glm_ocr_spark.kernel import geometry_py as gpy
 from glm_ocr_spark.kernel.formatter import (
+    finalize_page,
     format_bullet_points,
     format_page,
     merge_formula_numbers,
@@ -328,15 +329,19 @@ def extract_turn(payload: str | None, *, segmenter=None,
             r["content"] = rec(payload, r["span"], r["task_type"])
 
         page = formatter(regions)
-    json_str, markdown_str = serialize_page(page)
 
-    extracted_text = "\n\n".join(
-        r["content"] for r in page
-        if r.get("label") != "image" and r.get("content")
-    )
-    out_spans = [
-        (int(r["span"][0]), int(r["span"][1]), r["label"]) for r in page
-    ]
+    if formatter is None:
+        json_str, markdown_str, extracted_text, out_spans = \
+            finalize_page(page)
+    else:
+        json_str, markdown_str = serialize_page(page)
+        extracted_text = "\n\n".join(
+            r["content"] for r in page
+            if r.get("label") != "image" and r.get("content")
+        )
+        out_spans = [
+            (int(r["span"][0]), int(r["span"][1]), r["label"]) for r in page
+        ]
     return {
         "extracted_text": extracted_text,
         "markdown": markdown_str,

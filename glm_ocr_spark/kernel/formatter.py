@@ -209,6 +209,64 @@ def render_page_markdown(page_regions: list[dict], page_idx: int = 0) -> str:
 _json_esc = json.encoder.encode_basestring  # C impl; == dumps(ensure_ascii=False)
 
 
+def finalize_page(page_regions: list[dict]
+                  ) -> tuple[str, str, str, list[tuple]]:
+    """(json_str, markdown_str, extracted_text, out_spans) in ONE pass —
+    the default-path fusion of serialize_page + render_page_markdown + the
+    extracted-text join + the span projection (semantics identical to
+    calling them separately; exact-type surprises fall back to those
+    functions). Only extract_turn's default path calls this; the
+    pluggable-formatter path keeps the separate functions."""
+    jparts: list[str] = []
+    mdparts: list[str] = []
+    tparts: list[str] = []
+    spans: list[tuple] = []
+    for r in page_regions:
+        idx = r["index"]
+        label = r["label"]
+        content = r.get("content")
+        bbox = r.get("bbox_2d")
+        if type(idx) is not int or type(label) is not str:
+            break
+        if content is None:
+            cs = "null"
+        elif type(content) is str:
+            cs = _json_esc(content)
+        else:
+            break
+        if bbox is None:
+            bs = "null"
+        elif (type(bbox) is list and len(bbox) == 4
+              and type(bbox[0]) is int and type(bbox[1]) is int
+              and type(bbox[2]) is int and type(bbox[3]) is int):
+            bs = "[%d, %d, %d, %d]" % (bbox[0], bbox[1], bbox[2], bbox[3])
+        else:
+            break
+        jparts.append('{"index": %d, "label": %s, "content": %s, '
+                      '"bbox_2d": %s}' % (idx, _json_esc(label), cs, bs))
+        if label == "image":
+            mdparts.append(f"![](page=0,bbox={r.get('bbox_2d', [])})")
+        elif content:
+            mdparts.append(content)
+            tparts.append(content)
+        sp = r["span"]
+        spans.append((int(sp[0]), int(sp[1]), label))
+    else:
+        return ("[[" + ", ".join(jparts) + "]]", "\n\n".join(mdparts),
+                "\n\n".join(tparts), spans)
+
+    json_str, markdown_str = serialize_page(page_regions)
+    extracted_text = "\n\n".join(
+        r["content"] for r in page_regions
+        if r.get("label") != "image" and r.get("content")
+    )
+    out_spans = [
+        (int(r["span"][0]), int(r["span"][1]), r["label"])
+        for r in page_regions
+    ]
+    return json_str, markdown_str, extracted_text, out_spans
+
+
 def serialize_page(page_regions: list[dict]) -> tuple[str, str]:
     """(json_str, markdown_str) for a one-page unit, matching the reference's
     nesting (list of pages) and ensure_ascii=False (result_formatter.py:208-210).
