@@ -60,7 +60,8 @@ EXTRACTED_SCHEMA = T.StructType([
 
 
 def get_spark(app: str = "glm-ocr-spark", master: str | None = None,
-              shuffle_partitions: int = 32) -> SparkSession:
+              shuffle_partitions: int = 32,
+              extra_conf: dict | None = None) -> SparkSession:
     # Shuffle/spill scratch lives under the repo, not /tmp: this sandbox
     # reaps /tmp entries mid-run (a ~25-min bench pass died 2026-08-17
     # with its blockmgr dir deleted under it — ENOENT on temp_shuffle
@@ -98,6 +99,10 @@ def get_spark(app: str = "glm-ocr-spark", master: str | None = None,
         b = b.config("spark.local.dir", scratch)
     if master:
         b = b.master(master)
+    for k, v in (extra_conf or {}).items():
+        # static confs (e.g. spark.sql.warehouse.dir) must be set before
+        # the session exists — this is the hook tools use for them
+        b = b.config(k, v)
     return b.getOrCreate()
 
 

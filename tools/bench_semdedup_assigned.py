@@ -40,8 +40,8 @@ def main() -> None:
 
     wh = os.path.join(BENCH_DATA, "warehouse_semdedup")
     shutil.rmtree(wh, ignore_errors=True)
-    spark = (get_spark(app="bench-semdedup-assigned", master="local[32]"))
-    spark.conf.set("spark.sql.warehouse.dir", wh)
+    spark = get_spark(app="bench-semdedup-assigned", master="local[32]",
+                      extra_conf={"spark.sql.warehouse.dir": wh})
     spark.sparkContext.setLogLevel("ERROR")
 
     emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
