@@ -178,6 +178,25 @@ LSH_BANDS = 16          # bands of r = K / BANDS rows; r=2 -> candidate prob
 # finding; the interference bench_sf1 measured as 51.5 s warm vs 18.5 s
 # cold).
 _PERSISTED: list = []
+# long-lived-session leak bound (round-5 advice): when a new pin would
+# grow the registry past this, the OLDEST pin is released first. A
+# released pin is never a correctness problem — a still-lazy consumer
+# just recomputes — and 8 comfortably covers the deepest in-flight chain
+# (dedup_keep_first: 2 pins per minhash call).
+_PERSISTED_CAP = 8
+
+
+def _pin(df) -> None:
+    from pyspark import StorageLevel
+
+    while len(_PERSISTED) >= _PERSISTED_CAP:
+        old = _PERSISTED.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session gone or block already dropped
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
 
 
 def release_persisted() -> int:
@@ -317,16 +336,13 @@ def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
         ).alias("band_idx", "band_hash"),
     )
     if strategy == "join":
-        from pyspark import StorageLevel
-
         # materialize the band entries ONCE before the self-join: both
         # join sides reference this dataflow, and without a boundary Spark
         # plans two full scans — the expensive signature UDF twice over
         # the whole corpus (measured 2x wall on a 6.3M-doc corpus). At
         # 100 TB you'd persist signatures as a table; persist() is the
         # in-job equivalent (LRU-evictable, spills to disk).
-        band_entries = band_entries.persist(StorageLevel.MEMORY_AND_DISK)
-        _PERSISTED.append(band_entries)
+        _pin(band_entries)
         a = band_entries.alias("a")
         b = band_entries.alias("b")
         return (
@@ -378,15 +394,12 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
     action; long-lived sessions should call `release_persisted()` after
     consuming the result (see the note at `_PERSISTED`).
     """
-    from pyspark import StorageLevel
-
     cands = minhash_band_candidates(docs, n, k, bands, strategy)
     sh = docs.select("doc_id", shingles_udf(n)(F.col("text")).alias("sh"))
     # same single-evaluation boundary as the band entries above: s1 and s2
     # both read this dataflow, and unpersisted the shingle UDF would run
     # two more full corpus passes
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(sh)
+    _pin(sh)
     s1 = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
     common = F.size(F.array_intersect("sh1", "sh2"))

@@ -291,7 +291,8 @@ QUOTA_SALTS = 16
 def topk_per_key_salted(df: DataFrame, key_cols: list[str], order_col: str,
                         k: int, rank_name: str = "rank",
                         n_salts: int = QUOTA_SALTS,
-                        tie_cols: list[str] | None = None) -> DataFrame:
+                        tie_cols: list[str] | None = None,
+                        validate_unique: bool = False) -> DataFrame:
     """Keep the k rows with the smallest `order_col` per key, skew-safely.
 
     CONTRACT (parameter-level, not prose): the effective ordering
@@ -326,6 +327,21 @@ def topk_per_key_salted(df: DataFrame, key_cols: list[str], order_col: str,
     at 10^6 map partitions an unsalted hot source still lands k x 10^6
     rows on one reducer, the salted form never exceeds n_salts*k.
     """
+    if validate_unique:
+        # debug/assert mode (round-5 advice): the uniqueness contract is
+        # otherwise unenforced and a violation is silently wrong (stage 1
+        # can split a tie group across salts and drop a global top-k
+        # row). One extra aggregate job over (key, order, ties) counts —
+        # run it in tests/first deployments, not per production call.
+        dup = (df.groupBy(*key_cols, order_col,
+                          *(tie_cols or []))
+               .count().filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            r = dup[0].asDict()
+            raise ValueError(
+                "topk_per_key_salted uniqueness contract violated: "
+                f"(order_col, *tie_cols) duplicates within a key, e.g. "
+                f"{r} — pass tie_cols with a unique id column")
     clash = {"_salt", "_local_rk", rank_name} & set(df.columns)
     if clash:
         raise ValueError(

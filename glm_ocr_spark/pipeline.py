@@ -74,6 +74,13 @@ def get_spark(app: str = "glm-ocr-spark", master: str | None = None,
         ".bench", "sparktmp")
     try:
         os.makedirs(scratch, exist_ok=True)
+        # prove writability, not just existence: a pre-existing dir on a
+        # read-only mount passes makedirs(exist_ok=True) but executors
+        # would die later at shuffle-write time (round-5 advice)
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(dir=scratch):
+            pass
     except OSError:  # read-only deploy root: fall back to Spark's default
         scratch = None
     b = (

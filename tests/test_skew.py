@@ -180,3 +180,24 @@ def test_salted_topk_with_ties_needs_and_honors_tie_cols(spark):
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
     assert got.count() == 3 * k
+
+
+def test_topk_salted_validate_unique_catches_ties(spark):
+    """Round-5 advice: the (order_col, *tie_cols) uniqueness contract has
+    a debug mode that detects violations instead of silently dropping
+    rows; with a proper tie column it passes and matches the single
+    window."""
+    import pytest
+
+    from glm_ocr_spark.operators.relational import topk_per_key_salted
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 11), ("a", 2, 12), ("b", 1, 13)],
+        ["src", "ordv", "uid"])
+    with pytest.raises(ValueError, match="uniqueness contract"):
+        topk_per_key_salted(df, ["src"], "ordv", 1,
+                            validate_unique=True).collect()
+    out = topk_per_key_salted(df, ["src"], "ordv", 1, tie_cols=["uid"],
+                              validate_unique=True)
+    assert {(r["src"], r["uid"]) for r in out.collect()} == \
+        {("a", 10), ("b", 13)}
