@@ -326,6 +326,11 @@ def _staged_parquet_stats(d: str) -> tuple[list[str], int, int]:
     from pyarrow import fs as pafs
 
     scheme = d.split("://", 1)[0] + "://" if "://" in d else ""
+    # Spark-on-Hadoop resolves object stores via s3a:// (s3:// and s3n://
+    # are the legacy EMR/retired connectors), while pyarrow accepts
+    # plain s3:// — normalize at record time so read_output can hand
+    # manifest paths straight to spark.read.parquet (round-5 advice).
+    scheme = {"s3://": "s3a://", "s3n://": "s3a://"}.get(scheme, scheme)
     fs, base = _fs_and_path(d)
     sel = pafs.FileSelector(base, recursive=True, allow_not_found=True)
     files, rows, total = [], 0, 0
