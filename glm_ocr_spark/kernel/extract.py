@@ -170,11 +170,16 @@ def extract_turn(payload: str | None, *, segmenter=None,
         if thr_by_class:
             idx = [i for i, r in enumerate(rows)
                    if r[1] >= thr_by_class.get(r[0], thr)]
-        else:
+            if not idx:
+                return dict(_EMPTY)
+            if len(idx) != len(rows):
+                rows = [rows[i] for i in idx]
+                spans = [spans[i] for i in idx]
+        elif not all(r[1] >= thr for r in rows):
+            # the all-pass common case costs one scan, no index list
             idx = [i for i, r in enumerate(rows) if r[1] >= thr]
-        if not idx:
-            return dict(_EMPTY)
-        if len(idx) != len(rows):
+            if not idx:
+                return dict(_EMPTY)
             rows = [rows[i] for i in idx]
             spans = [spans[i] for i in idx]
     else:

@@ -218,7 +218,10 @@ def _plain_records(payload: str) -> list[tuple]:
     records = []
     for k, (tag, start, end) in enumerate(pieces):
         fragment = payload[start:end]
-        visible = _TAG_STRIP_RE.sub("", fragment)
+        # tag-strip only when a tag can exist (sub() is a full regex scan
+        # even on miss; identical output — no '<' means nothing to strip)
+        visible = _TAG_STRIP_RE.sub("", fragment) if "<" in fragment \
+            else fragment
         label = _classify_plain(tag, fragment, visible)
         score = plain_block_score(fragment, visible)
         y1 = (k * 1000.0) / n
