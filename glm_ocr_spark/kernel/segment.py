@@ -80,9 +80,12 @@ _TAG_STRIP_RE = re.compile(r"<[^>]+>")
 
 
 def parse_page_size(payload: str) -> tuple[float, float]:
-    m = _PAGE_RE.search(payload)
-    if m:
-        return float(m.group(1)), float(m.group(2))
+    # substring guard: plain-DOM payloads have no '<page' and previously
+    # paid a full regex scan just to fall back to the default
+    if "<page" in payload:
+        m = _PAGE_RE.search(payload)
+        if m:
+            return float(m.group(1)), float(m.group(2))
     return float(PAGE_WIDTH), float(PAGE_HEIGHT)
 
 
